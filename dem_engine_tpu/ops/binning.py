@@ -1,0 +1,317 @@
+"""Broad + mid phase contact detection: cell list over a uniform bin grid.
+
+Design translation (SURVEY.md §7): the reference's multi-bin sphere
+membership + CUB radix-sort/RLE/scan pipeline + per-bin shared-memory n²
+sweep (DEMCubContactDetection.cu, DEMBinSphereKernels.cu,
+DEMContactKernels_*.cu) is re-expressed TPU-natively as:
+
+  1. every sphere belongs to exactly ONE bin (its center's), with
+     ``bin_size = 2 * max(radius + margin)`` so any touching pair is within
+     one bin of each other — this removes DEME's variable-length
+     bins-per-sphere stage entirely;
+  2. ``lax.sort`` by bin id (XLA's radix path) + ``searchsorted`` replaces
+     CUB SortByKeys / RunLengthEncode / PrefixScan;
+  3. pair enumeration sweeps a 14-bin half shell per sphere with a static
+     per-bin occupancy cap, producing a fixed-capacity padded pair table
+     (DEME instead resizes device vectors);
+  4. overflow (bin occupancy, table capacity) sets flags surfaced to the
+     host, which grows capacities and re-runs — the functional equivalent
+     of DEME's error-out-or-resize behavior (SURVEY.md §4.2).
+
+`bin_size` and bin counts are traced scalars: the grid auto-adapts to the
+current velocity-dependent margins with NO recompilation (the analogue of
+kT's adaptive bin-size tuner, kT.cpp:43-98).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..defines import F, I
+
+# half shell: the 13 forward neighbor offsets + self bin; each unordered bin
+# pair is visited exactly once
+_HALF_SHELL = np.asarray(
+    [[0, 0, 0], [1, 0, 0], [-1, 1, 0], [0, 1, 0], [1, 1, 0]]
+    + [[dx, dy, 1] for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+    np.int32,
+)
+
+_MAX_TOTAL_BINS = float(2**30)
+_SENTINEL_BIN = np.int32(2**31 - 1)
+
+
+def build_grid(domain, reach_max):
+    """Choose bin size and per-axis bin counts (all traced).
+
+    Plays the role of decideBinSize + the kT auto-tuner
+    (APIPrivate.cpp:489-566) but is recomputed every refresh for free.
+    """
+    bs = 2.0 * reach_max * 1.01 + 1e-30
+    nb = jnp.maximum(jnp.ceil(domain / bs), 1.0)
+    prod = nb[0] * nb[1] * nb[2]
+    scale = jnp.maximum(1.0, jnp.cbrt(prod / _MAX_TOTAL_BINS))
+    bs = bs * scale
+    nb = jnp.maximum(jnp.ceil(domain / bs), 1.0).astype(I)
+    return bs, nb
+
+
+def bin_index_3d(pos, bin_size, nb):
+    idx = jnp.floor(pos / bin_size).astype(I)
+    return jnp.clip(idx, 0, nb - 1)
+
+
+def flat_bin(idx3, nb):
+    return (idx3[..., 2] * nb[1] + idx3[..., 1]) * nb[0] + idx3[..., 0]
+
+
+@dataclasses.dataclass
+class SphereBinTable:
+    """Sorted (bin, sphere) table shared by the SS and ST sweeps."""
+
+    sorted_bin: jnp.ndarray   # i32[Spad]
+    order: jnp.ndarray        # i32[Spad] original sphere id (=S for padding)
+    pos: jnp.ndarray          # f32[Spad,3] sorted positions
+    reach: jnp.ndarray        # f32[Spad] sorted radius+margin
+    owner: jnp.ndarray        # i32[Spad]
+    family: jnp.ndarray       # i32[Spad]
+    idx3: jnp.ndarray         # i32[Spad,3] sorted 3d bin indices
+    max_occ: jnp.ndarray      # i32[] max spheres in any bin
+
+
+jax.tree_util.register_dataclass(
+    SphereBinTable,
+    data_fields=(
+        "sorted_bin",
+        "order",
+        "pos",
+        "reach",
+        "owner",
+        "family",
+        "idx3",
+        "max_occ",
+    ),
+    meta_fields=(),
+)
+
+
+def build_sphere_table(pos, reach, owner, family, bin_size, nb, pad_to):
+    """Sort spheres by bin id; pad to a static size with sentinel bins."""
+    S = pos.shape[0]
+    idx3 = bin_index_3d(pos, bin_size, nb)
+    binid = flat_bin(idx3, nb)
+    sorted_bin, order = jax.lax.sort(
+        (binid, jnp.arange(S, dtype=I)), num_keys=1
+    )
+    pad = pad_to - S
+    if pad > 0:
+        sorted_bin = jnp.concatenate(
+            [sorted_bin, jnp.full((pad,), _SENTINEL_BIN, I)]
+        )
+        order = jnp.concatenate([order, jnp.full((pad,), S, I)])
+    take = partial(jnp.take, indices=jnp.minimum(order, S - 1), axis=0)
+    spos = take(pos)
+    sreach = jnp.where(order < S, take(reach), -1e30)
+    sown = jnp.where(order < S, take(owner), -1)
+    sfam = jnp.where(order < S, take(family), 0)
+    sidx3 = take(idx3)
+
+    # max bin occupancy via run-length over the sorted bins
+    k = jnp.arange(pad_to, dtype=I)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_bin[1:] != sorted_bin[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(boundary, k, 0))
+    occ = jnp.where(sorted_bin != _SENTINEL_BIN, k - run_start + 1, 0)
+    max_occ = occ.max() if pad_to > 0 else jnp.zeros((), I)
+
+    return SphereBinTable(
+        sorted_bin, order, spos, sreach, sown, sfam, sidx3, max_occ
+    )
+
+
+def _compact(hit_flat, payloads, cap, base_total, outs):
+    """Scatter hits into fixed-capacity output arrays.
+
+    dest indices are unique (strictly increasing over the hits), so the
+    scatter is race-free; invalid lanes go to index `cap` and are dropped.
+    """
+    csum = jnp.cumsum(hit_flat.astype(I))
+    dest = jnp.where(hit_flat, base_total + csum - 1, cap)
+    dest = jnp.where(dest < cap, dest, cap)
+    new_outs = tuple(
+        o.at[dest].set(p, mode="drop", unique_indices=True)
+        for o, p in zip(outs, payloads)
+    )
+    return new_outs, base_total + csum[-1] if hit_flat.size else base_total
+
+
+def find_pairs_ss(pos, reach, owner, family, family_mask, bin_size, nb,
+                  cap, max_per_bin, chunk=0):
+    """Sphere–sphere candidate pairs within summed reach.
+
+    Returns (idA, idB, count, max_occ) with idA < idB canonical ordering
+    (stable roles across refreshes so contact history maps cleanly).
+    """
+    S = pos.shape[0]
+    if chunk <= 0:
+        chunk = min(max(S, 1), 16384)
+    n_chunks = -(-S // chunk)
+    spad = n_chunks * chunk
+
+    tab = build_sphere_table(pos, reach, owner, family, bin_size, nb, spad)
+    fam_mask_flat = family_mask.reshape(-1)
+    offs = jnp.asarray(_HALF_SHELL)  # (14,3)
+    mpb = max_per_bin
+
+    outA0 = jnp.full((cap,), -1, I)
+    outB0 = jnp.full((cap,), -1, I)
+
+    def body(carry, ci):
+        outA, outB, total = carry
+        k0 = ci * chunk
+        kk = k0 + jnp.arange(chunk, dtype=I)
+        my_idx3 = jax.lax.dynamic_slice_in_dim(tab.idx3, k0, chunk)
+        my_pos = jax.lax.dynamic_slice_in_dim(tab.pos, k0, chunk)
+        my_reach = jax.lax.dynamic_slice_in_dim(tab.reach, k0, chunk)
+        my_own = jax.lax.dynamic_slice_in_dim(tab.owner, k0, chunk)
+        my_fam = jax.lax.dynamic_slice_in_dim(tab.family, k0, chunk)
+        my_id = jax.lax.dynamic_slice_in_dim(tab.order, k0, chunk)
+        row_ok = my_id < S
+
+        tgt3 = my_idx3[:, None, :] + offs[None, :, :]          # (ch,14,3)
+        ok3 = jnp.all((tgt3 >= 0) & (tgt3 < nb[None, None, :]), axis=-1)
+        tgt = jnp.where(ok3, flat_bin(tgt3, nb), -2)           # (ch,14)
+
+        starts = jnp.searchsorted(tab.sorted_bin, tgt)         # (ch,14)
+        slots = starts[..., None] + jnp.arange(mpb, dtype=I)   # (ch,14,mpb)
+        slots_c = jnp.minimum(slots, spad - 1)
+        cand_bin = tab.sorted_bin[slots_c]
+        valid = (cand_bin == tgt[..., None]) & (slots < spad)
+        same_bin = (jnp.arange(14) == 0)[None, :, None]
+        valid &= jnp.where(same_bin, slots > kk[:, None, None], True)
+        valid &= row_ok[:, None, None]
+
+        cpos = tab.pos[slots_c]
+        cre = tab.reach[slots_c]
+        cown = tab.owner[slots_c]
+        cfam = tab.family[slots_c]
+        cid = tab.order[slots_c]
+
+        d = my_pos[:, None, None, :] - cpos
+        d2 = jnp.sum(d * d, axis=-1)
+        rr = my_reach[:, None, None] + cre
+        hit = valid & (d2 < rr * rr)
+        hit &= cown != my_own[:, None, None]
+        hit &= fam_mask_flat[my_fam[:, None, None] * 256 + cfam]
+
+        a = jnp.broadcast_to(my_id[:, None, None], hit.shape)
+        lo = jnp.minimum(a, cid).reshape(-1)
+        hi = jnp.maximum(a, cid).reshape(-1)
+        (outA, outB), total = _compact(
+            hit.reshape(-1), (lo, hi), cap, total, (outA, outB)
+        )
+        return (outA, outB, total), None
+
+    (outA, outB, total), _ = jax.lax.scan(
+        body, (outA0, outB0, jnp.zeros((), I)),
+        jnp.arange(n_chunks, dtype=I),
+    )
+    return outA, outB, total, tab.max_occ, tab
+
+
+def find_pairs_st(aabb_min, aabb_max, tri_owner, tri_family, tab: SphereBinTable,
+                  family_mask, bin_size, nb, cap, max_span, max_per_bin,
+                  bin_lo=None, bin_hi=None):
+    """Sphere–triangle candidate pairs; rows are triangles.
+
+    Triangles enumerate the bins their (margin + max-sphere-reach expanded)
+    AABB overlaps and test the spheres resident in each — reusing the SS
+    sphere table, so each (sphere, tri) pair is visited exactly once (a
+    sphere lives in exactly one bin). Replaces the reference's triangle
+    sandwich/bin pipeline (DEMBinTriangleKernels.cu + host merge map).
+    """
+    T = aabb_min.shape[0]
+    fam_mask_flat = family_mask.reshape(-1)
+    mpb = max_per_bin
+    spad = tab.sorted_bin.shape[0]
+    if bin_lo is None:
+        bin_lo, bin_hi = aabb_min, aabb_max
+
+    lo3 = bin_index_3d(bin_lo, bin_size, nb)
+    hi3 = bin_index_3d(bin_hi, bin_size, nb)
+    span3 = hi3 - lo3 + 1
+    span_overflow = jnp.any(span3 > max_span)
+    span3 = jnp.minimum(span3, max_span)
+
+    sp = max_span
+    g = np.stack(
+        np.meshgrid(np.arange(sp), np.arange(sp), np.arange(sp),
+                    indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)[:, ::-1]  # (sp^3, 3) in (x,y,z) minor-to-major
+    g = jnp.asarray(np.ascontiguousarray(g), I)
+
+    tgt3 = lo3[:, None, :] + g[None, :, :]                     # (T,sp3,3)
+    okk = jnp.all(g[None] < span3[:, None, :], axis=-1) & jnp.all(
+        tgt3 < nb[None, None, :], axis=-1
+    )
+    tgt = jnp.where(okk, flat_bin(tgt3, nb), -2)
+
+    starts = jnp.searchsorted(tab.sorted_bin, tgt)             # (T,sp3)
+    slots = starts[..., None] + jnp.arange(mpb, dtype=I)       # (T,sp3,mpb)
+    slots_c = jnp.minimum(slots, spad - 1)
+    cand_bin = tab.sorted_bin[slots_c]
+    valid = (cand_bin == tgt[..., None]) & (slots < spad)
+
+    cpos = tab.pos[slots_c]
+    cre = tab.reach[slots_c]
+    cown = tab.owner[slots_c]
+    cfam = tab.family[slots_c]
+    cid = tab.order[slots_c]
+
+    # coarse test: sphere center within reach of the tri AABB
+    clamped = jnp.clip(cpos, aabb_min[:, None, None, :], aabb_max[:, None, None, :])
+    d = cpos - clamped
+    d2 = jnp.sum(d * d, axis=-1)
+    hit = valid & (d2 < cre * cre)
+    hit &= cown != tri_owner[:, None, None]
+    hit &= fam_mask_flat[cfam * 256 + tri_family[:, None, None]]
+
+    tri_ids = jnp.broadcast_to(
+        jnp.arange(T, dtype=I)[:, None, None], hit.shape
+    ).reshape(-1)
+    outA = jnp.full((cap,), -1, I)
+    outB = jnp.full((cap,), -1, I)
+    (outA, outB), total = _compact(
+        hit.reshape(-1), (cid.reshape(-1), tri_ids), cap,
+        jnp.zeros((), I), (outA, outB),
+    )
+    return outA, outB, total, span_overflow
+
+
+def find_pairs_sa(overlap_margined, sph_owner, sph_family, anal_owner,
+                  anal_family, family_mask, cap):
+    """Sphere–analytical pairs from a precomputed (S, A) margined-overlap
+    matrix (the caller runs the narrow phase with margins; analytical
+    components are few, so brute force is cheapest — the reference likewise
+    scans all analytical geometries per sphere, DEMBinSphereKernels.cu:11)."""
+    S, A = overlap_margined.shape
+    hit = overlap_margined > 0.0
+    hit &= sph_owner[:, None] != anal_owner[None, :]
+    hit &= family_mask[sph_family[:, None], anal_family[None, :]]
+
+    sph_ids = jnp.broadcast_to(jnp.arange(S, dtype=I)[:, None], hit.shape)
+    anal_ids = jnp.broadcast_to(jnp.arange(A, dtype=I)[None, :], hit.shape)
+    outA = jnp.full((cap,), -1, I)
+    outB = jnp.full((cap,), -1, I)
+    (outA, outB), total = _compact(
+        hit.reshape(-1), (sph_ids.reshape(-1), anal_ids.reshape(-1)),
+        cap, jnp.zeros((), I), (outA, outB),
+    )
+    return outA, outB, total

@@ -1,0 +1,329 @@
+"""The solver engine: contact-table refresh + dynamics stepping.
+
+Design translation (SURVEY.md §5.8, §7): DEME's two asynchronous worker
+threads — kT producing contact tables on one GPU while dT integrates on
+another, exchanging buffers under a bounded-staleness ("future drift")
+protocol — collapse on TPU into ONE compiled program: `refresh_contacts`
+(the kT role) runs every K steps, then `lax.scan` drives K dynamics steps
+(the dT role) against the frozen contact table. Contact margins sized by
+K·h·velocity make the stale table exact, precisely the reference's margin
+argument (DEMMiscKernels.cu:37-61, ThreadManager.h:89-104) — except here the
+"drift" is deterministic, so margins can be tighter.
+
+Host ↔ device protocol: the host loop reads one overflow scalar per refresh;
+on overflow it grows the affected capacity and re-runs the refresh from the
+retained pre-refresh state (the functional analogue of DEME's device-vector
+resize, kT.cpp:21-41), then dispatches the K-step scan with donated state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .defines import F, HUGE_FLOAT, I, TimeIntegrator
+from .models.prescriptions import PrescriptionTables
+from .ops import binning, forces, history, integrator, quat, voxel
+from .state import (
+    OVF_BIN_OCC,
+    OVF_SA_CAP,
+    OVF_SS_CAP,
+    OVF_ST_CAP,
+    OVF_TRI_BINS,
+    OVF_VEL,
+    ContactTable,
+    RuntimeParams,
+    SimState,
+    SolverConfig,
+)
+
+_GROWTH = 1.6
+
+
+# ---------------------------------------------------------------------------
+# geometry helpers
+# ---------------------------------------------------------------------------
+
+
+def sphere_world_pos(owners, spheres, voxel_size):
+    """f32 absolute (LBF-relative) sphere centers — broad phase only."""
+    own = spheres.owner
+    base = voxel.decode_f32(owners.vox[own], owners.loc[own], voxel_size)
+    return base + quat.rotate(owners.quat[own], spheres.relpos)
+
+
+def sphere_margins(owners, spheres, params):
+    """Per-sphere CD safety margin for K steps of drift
+    (computeMarginFromAbsv, DEMMiscKernels.cu:37-61, with the gravity
+    velocity-growth term folded in since our drift is deterministic)."""
+    own = spheres.owner
+    lin = jnp.linalg.norm(owners.vel[own], axis=-1)
+    arm = jnp.linalg.norm(spheres.relpos, axis=-1) + spheres.radius
+    rot = jnp.linalg.norm(owners.omg[own], axis=-1) * arm
+    absv = jnp.minimum(lin + rot, params.approx_max_vel)
+    t_drift = params.h * params.max_drift.astype(F)
+    g_mag = jnp.linalg.norm(params.gravity)
+    margin = (
+        (absv * params.expand_safety_multi + params.expand_safety_adder)
+        * t_drift
+        + 0.5 * g_mag * t_drift * t_drift
+    )
+    fam = owners.family[own]
+    return margin + params.family_extra_margin[fam], absv
+
+
+def owner_margin(owners, idx, arm, params):
+    """Margin for a non-sphere owner (mesh/analytical), arm = lever length."""
+    lin = jnp.linalg.norm(owners.vel[idx], axis=-1)
+    rot = jnp.linalg.norm(owners.omg[idx], axis=-1) * arm
+    absv = jnp.minimum(lin + rot, params.approx_max_vel)
+    t_drift = params.h * params.max_drift.astype(F)
+    m = (absv * params.expand_safety_multi + params.expand_safety_adder) * t_drift
+    return m + params.family_extra_margin[owners.family[idx]]
+
+
+def tri_world_nodes(owners, tris, voxel_size):
+    own = tris.owner
+    base = voxel.decode_f32(owners.vox[own], owners.loc[own], voxel_size)
+    return base[:, None, :] + quat.rotate(
+        owners.quat[own][:, None, :], tris.nodes
+    )
+
+
+# ---------------------------------------------------------------------------
+# refresh (the kT role)
+# ---------------------------------------------------------------------------
+
+
+def refresh_contacts(state: SimState, params: RuntimeParams,
+                     cfg: SolverConfig) -> SimState:
+    vs = cfg.voxel_size
+    owners, spheres, tris, anals = (
+        state.owners, state.spheres, state.tris, state.anals,
+    )
+    wc_names = cfg.force_model.contact_wildcards
+
+    pos = sphere_world_pos(owners, spheres, vs)
+    margin, absv = sphere_margins(owners, spheres, params)
+    reach = spheres.radius + margin
+    max_reach = reach.max()
+    max_vel = absv.max()
+
+    bin_size, nb = binning.build_grid(params.domain, max_reach)
+    sph_family = owners.family[spheres.owner]
+
+    idA, idB, n_ss, max_occ, tab = binning.find_pairs_ss(
+        pos, reach, spheres.owner, sph_family, params.family_mask,
+        bin_size, nb, cfg.cap_ss, cfg.max_per_bin, cfg.cd_chunk,
+    )
+    ss = history.carry_history(
+        state.ss, idA, idB, jnp.minimum(n_ss, cfg.cap_ss), wc_names,
+        cfg.use_persistency,
+    )
+    overflow = jnp.where(n_ss > cfg.cap_ss, OVF_SS_CAP, 0).astype(I)
+    overflow |= jnp.where(ss.count > cfg.cap_ss, OVF_SS_CAP, 0)
+    ss = ss.replace(count=jnp.minimum(ss.count, cfg.cap_ss))
+    overflow |= jnp.where(max_occ > cfg.max_per_bin, OVF_BIN_OCC, 0)
+
+    # --- sphere-triangle ---------------------------------------------------
+    if tris.n > 0:
+        nodes = tri_world_nodes(owners, tris, vs)
+        arm = jnp.max(jnp.linalg.norm(tris.nodes, axis=-1), axis=-1)
+        m_t = owner_margin(owners, tris.owner, arm, params)
+        amin = nodes.min(axis=1) - m_t[:, None]
+        amax = nodes.max(axis=1) + m_t[:, None]
+        # bins enumerated over the AABB grown by the largest sphere reach so
+        # any sphere whose own bin could hold a contact is visited
+        bin_lo = amin - max_reach
+        bin_hi = amax + max_reach
+        tri_fam = owners.family[tris.owner]
+        tA, tB, n_st, span_ovf = binning.find_pairs_st(
+            amin, amax, tris.owner, tri_fam, tab, params.family_mask,
+            bin_size, nb, cfg.cap_st, cfg.max_tri_span, cfg.max_per_bin,
+            bin_lo, bin_hi,
+        )
+        st = history.carry_history(
+            state.st, tA, tB, jnp.minimum(n_st, cfg.cap_st), wc_names,
+            cfg.use_persistency,
+        )
+        overflow |= jnp.where(n_st > cfg.cap_st, OVF_ST_CAP, 0)
+        overflow |= jnp.where(st.count > cfg.cap_st, OVF_ST_CAP, 0)
+        st = st.replace(count=jnp.minimum(st.count, cfg.cap_st))
+        overflow |= jnp.where(span_ovf, OVF_TRI_BINS, 0)
+    else:
+        st = state.st
+
+    # --- sphere-analytical ---------------------------------------------------
+    if anals.n > 0:
+        from .ops import narrowphase
+
+        own_b = anals.owner
+        base_b = voxel.decode_f32(owners.vox[own_b], owners.loc[own_b], vs)
+        obj_pos = base_b + quat.rotate(owners.quat[own_b], anals.relpos)
+        obj_dir = quat.rotate(owners.quat[own_b], anals.direction)
+        m_a = owner_margin(
+            owners, anals.owner, jnp.zeros_like(anals.normal_sign), params
+        )
+        ovl, _, _ = narrowphase.sphere_analytical(
+            pos[:, None, :], spheres.radius[:, None],
+            anals.objtype[None, :], obj_pos[None, :, :], obj_dir[None, :, :],
+            anals.size[None, :, :], anals.normal_sign[None, :],
+        )
+        ovl_m = ovl + margin[:, None] + m_a[None, :]
+        aA, aB, n_sa = binning.find_pairs_sa(
+            ovl_m, spheres.owner, sph_family, anals.owner,
+            owners.family[anals.owner], params.family_mask, cfg.cap_sa,
+        )
+        sa = history.carry_history(
+            state.sa, aA, aB, jnp.minimum(n_sa, cfg.cap_sa), wc_names,
+            cfg.use_persistency,
+        )
+        overflow |= jnp.where(n_sa > cfg.cap_sa, OVF_SA_CAP, 0)
+        overflow |= jnp.where(sa.count > cfg.cap_sa, OVF_SA_CAP, 0)
+        sa = sa.replace(count=jnp.minimum(sa.count, cfg.cap_sa))
+    else:
+        sa = state.sa
+
+    overflow |= jnp.where(max_vel > params.error_out_vel, OVF_VEL, 0)
+    return state.replace(
+        ss=ss, st=st, sa=sa, overflow=overflow, max_vel=max_vel
+    )
+
+
+# ---------------------------------------------------------------------------
+# dynamics step (the dT role)
+# ---------------------------------------------------------------------------
+
+
+def dynamics_step(state: SimState, params: RuntimeParams,
+                  cfg: SolverConfig) -> SimState:
+    owners = state.owners
+    model = cfg.force_model
+    passes = []
+    new_tables = {}
+    for kind, table, n_geo in (
+        ("ss", state.ss, state.spheres.n),
+        ("st", state.st, state.tris.n),
+        ("sa", state.sa, state.anals.n),
+    ):
+        if n_geo == 0 or table.cap == 0 or state.spheres.n == 0:
+            new_tables[kind] = table
+            continue
+        p = forces.contact_pass(
+            kind, table, owners, state.spheres, state.tris, state.anals,
+            params, state.time, cfg.voxel_size, model,
+        )
+        passes.append(p)
+        new_tables[kind] = p["table"]
+
+    f_acc, t_acc = forces.reduce_wrench(owners.n, passes)
+
+    tables_p = PrescriptionTables(cfg.prescriptions, state.time)
+    owners = integrator.integrate_owners(
+        owners, f_acc, t_acc, params, tables_p, cfg.voxel_size,
+        cfg.integrator, state.time,
+    )
+    owners = integrator.apply_family_changes(
+        owners, cfg.family_changes, cfg.voxel_size, state.time
+    )
+    return state.replace(
+        owners=owners,
+        ss=new_tables["ss"],
+        st=new_tables["st"],
+        sa=new_tables["sa"],
+        time=state.time + params.h,
+        step=state.step + 1,
+    )
+
+
+def run_steps(state: SimState, params: RuntimeParams, cfg: SolverConfig,
+              n_steps: int) -> SimState:
+    def body(s, _):
+        return dynamics_step(s, params, cfg), None
+
+    state, _ = jax.lax.scan(body, state, length=n_steps)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# host-side engine
+# ---------------------------------------------------------------------------
+
+_CAP_OVF = OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC | OVF_TRI_BINS
+
+
+class Engine:
+    """Owns the jit caches and the refresh/step/grow protocol."""
+
+    def __init__(self, cfg: SolverConfig):
+        self.cfg = cfg
+        self._build()
+
+    def _build(self):
+        cfg = self.cfg
+        self._refresh = jax.jit(partial(refresh_contacts, cfg=cfg))
+        self._step_cache: Dict[int, callable] = {}
+
+    def _steps_fn(self, k: int):
+        fn = self._step_cache.get(k)
+        if fn is None:
+            fn = jax.jit(
+                partial(run_steps, cfg=self.cfg, n_steps=k),
+                donate_argnums=(0,),
+            )
+            self._step_cache[k] = fn
+        return fn
+
+    def grow_for(self, state: SimState, ovf: int) -> SimState:
+        """Grow capacities named by overflow bits; returns resized state."""
+        cfg = self.cfg
+        changes = {}
+        if ovf & OVF_SS_CAP:
+            changes["cap_ss"] = int(cfg.cap_ss * _GROWTH) + 64
+        if ovf & OVF_ST_CAP:
+            changes["cap_st"] = int(cfg.cap_st * _GROWTH) + 64
+        if ovf & OVF_SA_CAP:
+            changes["cap_sa"] = int(cfg.cap_sa * _GROWTH) + 64
+        if ovf & OVF_BIN_OCC:
+            changes["max_per_bin"] = int(cfg.max_per_bin * _GROWTH) + 8
+        if ovf & OVF_TRI_BINS:
+            changes["max_tri_span"] = cfg.max_tri_span + 2
+        self.cfg = dataclasses.replace(cfg, **changes)
+        self._build()
+        return state.replace(
+            ss=state.ss.grown(self.cfg.cap_ss),
+            st=state.st.grown(self.cfg.cap_st),
+            sa=state.sa.grown(self.cfg.cap_sa),
+        )
+
+    def refresh(self, state: SimState, params: RuntimeParams) -> SimState:
+        """Refresh with automatic capacity growth (lossless: retries from the
+        retained pre-refresh state)."""
+        for _ in range(16):
+            new_state = self._refresh(state, params)
+            ovf = int(new_state.overflow)
+            if not (ovf & _CAP_OVF):
+                if ovf & OVF_VEL:
+                    raise RuntimeError(
+                        "Simulation diverged: max system velocity "
+                        f"{float(new_state.max_vel):.3g} exceeds the "
+                        "error-out threshold (SetErrorOutVelocity)."
+                    )
+                return new_state
+            state = self.grow_for(state, ovf)
+        raise RuntimeError("contact capacity growth did not converge")
+
+    def advance(self, state: SimState, params: RuntimeParams,
+                n_steps: int, update_freq: int) -> SimState:
+        """The DoDynamics hot loop: refresh every `update_freq` steps."""
+        done = 0
+        while done < n_steps:
+            k = min(update_freq, n_steps - done)
+            state = self.refresh(state, params)
+            state = self._steps_fn(k)(state, params)
+            done += k
+        return state

@@ -1,0 +1,301 @@
+"""Device-side state pytrees for the solver.
+
+Design translation from the reference (SURVEY.md §7): DEME keeps one copy of
+every state array per worker thread (dT.h:161-228, kT.h:143-201) and shuttles
+buffers between GPUs. Here there is a single functional `SimState` pytree,
+threaded through jitted step functions; XLA owns placement and donation.
+
+Layout decisions (TPU-first):
+  * owner positions = int32 voxel triplet + float32 in-voxel offset
+    (see ops/voxel.py) — the TPU re-expression of DEME's u64 voxel + u16
+    subvoxel fixed point (VariableTypes.h:19-21).
+  * angular velocity / angular acceleration / MOI live in the owner's BODY
+    frame, matching DEME (omgBar semantics, DEMIntegrationKernels.cu:222,
+    DEMCollectForceKernels.cu forceToAngAcc).
+  * contact tables are fixed-capacity padded SoA with an explicit count and
+    overflow flags; growth happens host-side between chunks, mirroring
+    DEME's DualArray resize (DataMigrationHelper.hpp:204).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .defines import F, I
+
+# ---------------------------------------------------------------------------
+# pytree dataclass helper
+# ---------------------------------------------------------------------------
+
+
+def pytree_dataclass(cls=None, *, meta_fields: Tuple[str, ...] = ()):
+    """Register a dataclass as a JAX pytree with optional static fields."""
+
+    def wrap(c):
+        c = dataclasses.dataclass(c)
+        data_fields = tuple(
+            f.name for f in dataclasses.fields(c) if f.name not in meta_fields
+        )
+        jax.tree_util.register_dataclass(
+            c, data_fields=data_fields, meta_fields=tuple(meta_fields)
+        )
+        c.replace = dataclasses.replace
+        return c
+
+    return wrap(cls) if cls is not None else wrap
+
+
+# ---------------------------------------------------------------------------
+# Entity state
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class Owners:
+    """Per-owner rigid body state (clumps, mesh owners, analytical owners).
+
+    Mirrors the dT owner arrays (reference dT.h:161-199) plus flattened
+    mass/MOI (the reference jitifies these; we store arrays — the XLA
+    equivalent of its 'flattened' acquisition strategy, Models.h:66-171).
+    """
+
+    vox: jnp.ndarray        # i32[N,3]  voxel index per axis (LBF-relative)
+    loc: jnp.ndarray        # f32[N,3]  in-voxel offset, in [0, voxel_size)
+    quat: jnp.ndarray       # f32[N,4]  (w,x,y,z), body->global
+    vel: jnp.ndarray        # f32[N,3]  linear velocity, global frame
+    omg: jnp.ndarray        # f32[N,3]  angular velocity, body frame
+    lin_acc: jnp.ndarray    # f32[N,3]  last contact accel (for queries)
+    ang_acc: jnp.ndarray    # f32[N,3]  last contact angular accel, body frame
+    ext_acc: jnp.ndarray    # f32[N,3]  user-set persistent extra accel
+    ext_ang_acc: jnp.ndarray  # f32[N,3]
+    family: jnp.ndarray     # i32[N]
+    mass: jnp.ndarray       # f32[N]
+    moi: jnp.ndarray        # f32[N,3]  principal MOI, body frame
+    wildcards: Dict[str, jnp.ndarray]  # each f32[N]
+
+    @property
+    def n(self) -> int:
+        return self.vox.shape[0]
+
+
+@pytree_dataclass
+class Spheres:
+    """Per-sphere-component geometry (reference dT.h:103-143 template arrays,
+    flattened per component as in ClumpCompAcqStratAllFlatten.cu)."""
+
+    owner: jnp.ndarray    # i32[S]
+    relpos: jnp.ndarray   # f32[S,3] body frame offset from owner CoM
+    radius: jnp.ndarray   # f32[S]
+    mat: jnp.ndarray      # i32[S]
+    wildcards: Dict[str, jnp.ndarray]  # geometry wildcards, each f32[S]
+
+    @property
+    def n(self) -> int:
+        return self.owner.shape[0]
+
+
+@pytree_dataclass
+class Triangles:
+    """Triangle-mesh facets (reference BdrsAndObjs.h:230-585). Nodes are in
+    the mesh owner's body frame; deformable meshes update them mid-sim."""
+
+    owner: jnp.ndarray   # i32[T]
+    nodes: jnp.ndarray   # f32[T,3,3]  three vertices, body frame
+    mat: jnp.ndarray     # i32[T]
+    wildcards: Dict[str, jnp.ndarray]
+
+    @property
+    def n(self) -> int:
+        return self.owner.shape[0]
+
+
+@pytree_dataclass
+class Analyticals:
+    """Flattened analytical boundary components (reference BdrsAndObjs.h:31-65
+    param structs; jitified as __constant__ arrays at APIPrivate.cpp:1724-1788,
+    stored as plain arrays here)."""
+
+    owner: jnp.ndarray        # i32[A]
+    objtype: jnp.ndarray      # i32[A]  ANAL_* codes
+    relpos: jnp.ndarray       # f32[A,3] component position, owner body frame
+    direction: jnp.ndarray    # f32[A,3] axis/normal, owner body frame
+    size: jnp.ndarray         # f32[A,3] (size1,size2,size3)
+    normal_sign: jnp.ndarray  # f32[A]   +1 outward / -1 inward
+    mat: jnp.ndarray          # i32[A]
+    wildcards: Dict[str, jnp.ndarray]
+
+    @property
+    def n(self) -> int:
+        return self.owner.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Contact tables
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class ContactTable:
+    """Fixed-capacity padded contact-pair table for one contact class.
+
+    Equivalent of kT's pair arrays + dT's per-contact force/history arrays
+    (kT.h:172-201, dT.h:202-228), with DEME's dynamic resize replaced by
+    capacity + overflow-flag + host growth.
+    Padding entries have ``idA == -1``.
+    """
+
+    idA: jnp.ndarray       # i32[C] sphere geometry id
+    idB: jnp.ndarray       # i32[C] sphere / triangle / analytical id
+    count: jnp.ndarray     # i32[]  number of live entries
+    persist: jnp.ndarray   # i32[C] persistency marker
+    force: jnp.ndarray     # f32[C,3] last force on A (global frame)
+    torque: jnp.ndarray    # f32[C,3] last torque-only force (global frame)
+    cpoint: jnp.ndarray    # f32[C,3] last contact point rel owner A CoM
+    wildcards: Dict[str, jnp.ndarray]  # each f32[C]
+
+    @property
+    def cap(self) -> int:
+        return self.idA.shape[0]
+
+    @staticmethod
+    def empty(cap: int, wildcard_names: Tuple[str, ...] = ()) -> "ContactTable":
+        return ContactTable(
+            idA=jnp.full((cap,), -1, I),
+            idB=jnp.full((cap,), -1, I),
+            count=jnp.zeros((), I),
+            persist=jnp.zeros((cap,), I),
+            force=jnp.zeros((cap, 3), F),
+            torque=jnp.zeros((cap, 3), F),
+            cpoint=jnp.zeros((cap, 3), F),
+            wildcards={k: jnp.zeros((cap,), F) for k in wildcard_names},
+        )
+
+    def grown(self, new_cap: int) -> "ContactTable":
+        """Host-side capacity growth (the resize path of DEME kT.cpp:21-41)."""
+        pad = new_cap - self.cap
+        assert pad >= 0
+
+        def padded(x, fill=0):
+            return jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
+            )
+
+        return ContactTable(
+            idA=padded(self.idA, -1),
+            idB=padded(self.idB, -1),
+            count=self.count,
+            persist=padded(self.persist),
+            force=padded(self.force),
+            torque=padded(self.torque),
+            cpoint=padded(self.cpoint),
+            wildcards={k: padded(v) for k, v in self.wildcards.items()},
+        )
+
+
+# Overflow bit flags (surfaced to host between chunks; the reference instead
+# resizes inline or error-outs, SURVEY.md §4.2)
+OVF_SS_CAP = 1
+OVF_ST_CAP = 2
+OVF_SA_CAP = 4
+OVF_BIN_OCC = 8
+OVF_ROW_CAP = 16
+OVF_TRI_BINS = 32
+OVF_VEL = 64        # max system velocity above error-out threshold
+
+
+@pytree_dataclass
+class SimState:
+    """The full simulation state threaded through jitted step functions."""
+
+    owners: Owners
+    spheres: Spheres
+    tris: Triangles
+    anals: Analyticals
+    ss: ContactTable
+    st: ContactTable
+    sa: ContactTable
+    time: jnp.ndarray        # f32[]
+    step: jnp.ndarray        # i32[]
+    overflow: jnp.ndarray    # i32[] bit flags
+    max_vel: jnp.ndarray     # f32[] measured at last refresh
+
+
+# ---------------------------------------------------------------------------
+# Runtime parameters (traced arrays — changing them does NOT recompile)
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class RuntimeParams:
+    """Per-run tunables; the analogue of DEMSimParams (Defines.h:194-265)
+    minus anything shape-affecting (those live in SolverConfig)."""
+
+    h: jnp.ndarray                 # f32[] time step
+    gravity: jnp.ndarray           # f32[3]
+    domain: jnp.ndarray            # f32[3] extents (LBF-relative)
+    expand_safety_multi: jnp.ndarray  # f32[]
+    expand_safety_adder: jnp.ndarray  # f32[]
+    approx_max_vel: jnp.ndarray    # f32[] velocity cap used in margins
+    error_out_vel: jnp.ndarray     # f32[]
+    max_drift: jnp.ndarray         # i32[] steps the contact table stays live
+    family_mask: jnp.ndarray       # bool[256,256] True => contact enabled
+    family_extra_margin: jnp.ndarray  # f32[256]
+    mat_props: Dict[str, jnp.ndarray]   # per-material: each f32[M]
+    pair_props: Dict[str, jnp.ndarray]  # pairwise-mixed: each f32[M,M]
+
+
+# ---------------------------------------------------------------------------
+# Static solver configuration (hashable; changing it recompiles)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Everything that shapes the compiled program: capacities, the
+    integrator, force-model callables, prescription callables.
+
+    This plays the role of DEME's jitify substitution map
+    (APIPrivate.cpp:1548-2132): the pieces that were compiled into CUDA
+    kernels are here traced into the XLA program.
+    """
+
+    voxel_size: float
+    integrator: Any                     # TimeIntegrator
+    force_model: Any                    # models.ForceModel
+    cap_ss: int = 64
+    cap_st: int = 16
+    cap_sa: int = 16
+    max_per_bin: int = 32               # bin occupancy cap (spheres)
+    max_tri_per_bin: int = 32
+    max_row_cand: int = 16              # per-sphere contact candidate cap
+    max_tri_span: int = 4               # bins per axis a triangle may cover
+    cd_chunk: int = 0                   # 0 = no chunking of the CD sweep
+    prescriptions: Tuple[Any, ...] = ()  # prescriptions.FamilyPrescription
+    family_changes: Tuple[Any, ...] = ()
+    use_persistency: bool = False
+    reduce_mode: str = "scatter"        # owner wrench reduction strategy
+
+    def __hash__(self):
+        return hash(
+            (
+                self.voxel_size,
+                self.integrator,
+                id(self.force_model),
+                self.cap_ss,
+                self.cap_st,
+                self.cap_sa,
+                self.max_per_bin,
+                self.max_tri_per_bin,
+                self.max_row_cand,
+                self.max_tri_span,
+                self.cd_chunk,
+                tuple(id(p) for p in self.prescriptions),
+                tuple(id(c) for c in self.family_changes),
+                self.use_persistency,
+                self.reduce_mode,
+            )
+        )
