@@ -7,4 +7,33 @@ reference and the design translation table (§7).
 
 __version__ = "0.1.0"
 
-from .defines import TimeIntegrator, Verbosity, OutputContent  # noqa: F401
+from .defines import (  # noqa: F401
+    ContactOutputContent,
+    OutputContent,
+    TimeIntegrator,
+    Verbosity,
+)
+from .api import DEMInspector, DEMSolver, DEMTracker  # noqa: F401
+from .models import (  # noqa: F401
+    ContactContext,
+    FamilyChange,
+    FamilyPrescription,
+    ForceModel,
+    HertzianForceModel,
+    HertzianFrictionlessForceModel,
+)
+from .structs import (  # noqa: F401
+    DEMClumpBatch,
+    DEMClumpTemplate,
+    DEMExternObj,
+    DEMMaterial,
+    DEMMeshConnected,
+)
+from .utils.samplers import (  # noqa: F401
+    DEMBoxGridSampler,
+    DEMBoxHCPSampler,
+    DEMCylSurfSampler,
+    GridSampler,
+    HCPSampler,
+    PDSampler,
+)
