@@ -1,0 +1,65 @@
+"""Benchmark: clump-steps/sec/chip on the BASELINE.md shape
+(3-sphere clumps, Hertz-Mindlin with friction history, gravity settling in
+a box). Prints ONE JSON line.
+
+Reference number (BASELINE.md): 1M 3-sphere clumps x 1M steps in ~1 hour on
+2x RTX 3080 => 2.8e8 clump-steps/s system-wide = 1.4e8 per GPU. We report
+clump-steps/s on one chip and vs_baseline against the per-GPU figure.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+BASELINE_PER_CHIP = 1.4e8  # clump-steps/s per RTX 3080 (README.md:48 / 2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=0, help="clump count")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--update-freq", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+    n = args.n or (131072 if on_tpu else 2048)
+
+    from __graft_entry__ import _build_case
+    from dem_engine_tpu.solver import Engine
+
+    cfg, state, params = _build_case(
+        n_clumps=n, update_freq=args.update_freq
+    )
+    eng = Engine(cfg)
+
+    # warmup: compiles + settles capacities + establishes contacts
+    state = eng.advance(state, params, args.warmup, args.update_freq)
+    jax.block_until_ready(state.owners.vox)
+
+    t0 = time.perf_counter()
+    state = eng.advance(state, params, args.steps, args.update_freq)
+    jax.block_until_ready(state.owners.vox)
+    dt = time.perf_counter() - t0
+
+    rate = n * args.steps / dt  # clump-steps/s on this one chip
+    print(
+        json.dumps(
+            {
+                "metric": f"clump-steps/s/chip ({n} 3-sphere clumps, "
+                f"Hertz-Mindlin+friction, CD every {args.update_freq})",
+                "value": rate,
+                "unit": "clump-steps/s",
+                "vs_baseline": rate / BASELINE_PER_CHIP,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

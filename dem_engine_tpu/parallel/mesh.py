@@ -1,0 +1,83 @@
+"""Multi-chip sharding of the solver state.
+
+Design (SURVEY.md §5.8): the reference's only inter-device parallelism is
+the kT/dT producer-consumer split across 2 GPUs with cudaMemcpy transports.
+The TPU-native scaling axis is instead the DATA of one simulation: contact
+tables and sphere (geometry) arrays are sharded across a 1D device mesh,
+owner rigid-body state is replicated, and the per-owner wrench reduction
+becomes a local partial-sum + `psum` over ICI — which XLA's SPMD partitioner
+inserts automatically from the sharding constraints below (the
+"annotate shardings, let XLA insert collectives" recipe).
+
+With this layout the two dominant costs — per-contact force evaluation and
+per-sphere candidate search — scale with device count, while the replicated
+owner integration is O(N_owners) elementwise and cheap. Spatial domain
+decomposition (halo exchange over `ppermute`) is the planned next level for
+when the replicated owner state itself becomes the bottleneck.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..state import SimState
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _repl(mesh):
+    return NamedSharding(mesh, P())
+
+
+def _shardable(x, n) -> bool:
+    return (
+        hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] > 0
+        and x.shape[0] % n == 0
+    )
+
+
+def state_shardings(state: SimState, mesh: Mesh, axis: str = "shard"):
+    """Build a SimState-shaped pytree of NamedShardings: contact tables and
+    sphere arrays sharded on their leading axis, everything else replicated."""
+    n = mesh.devices.size
+    repl = _repl(mesh)
+
+    def shard0(x):
+        if _shardable(x, n):
+            spec = P(axis, *([None] * (x.ndim - 1)))
+            return NamedSharding(mesh, spec)
+        return repl
+
+    def repl_fn(x):
+        return repl
+
+    return SimState(
+        owners=jax.tree_util.tree_map(repl_fn, state.owners),
+        spheres=jax.tree_util.tree_map(shard0, state.spheres),
+        tris=jax.tree_util.tree_map(repl_fn, state.tris),
+        anals=jax.tree_util.tree_map(repl_fn, state.anals),
+        ss=jax.tree_util.tree_map(shard0, state.ss),
+        st=jax.tree_util.tree_map(shard0, state.st),
+        sa=jax.tree_util.tree_map(shard0, state.sa),
+        time=repl,
+        step=repl,
+        overflow=repl,
+        max_vel=repl,
+    )
+
+
+def shard_state(state: SimState, mesh: Mesh, axis: str = "shard") -> SimState:
+    """Place a SimState onto the mesh according to state_shardings."""
+    sh = state_shardings(state, mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), state, sh
+    )

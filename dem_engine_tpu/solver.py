@@ -257,24 +257,56 @@ _CAP_OVF = OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC | OVF_TRI_BINS
 
 
 class Engine:
-    """Owns the jit caches and the refresh/step/grow protocol."""
+    """Owns the jit caches and the refresh/step/grow protocol.
 
-    def __init__(self, cfg: SolverConfig):
+    Pass a `jax.sharding.Mesh` to run multi-chip: contact tables and sphere
+    arrays are sharded over the mesh, owner state replicated, and XLA
+    inserts the ICI collectives (see parallel/mesh.py).
+    """
+
+    def __init__(self, cfg: SolverConfig, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self._build()
 
     def _build(self):
-        cfg = self.cfg
-        self._refresh = jax.jit(partial(refresh_contacts, cfg=cfg))
+        self._refresh_jit = None
         self._step_cache: Dict[int, callable] = {}
 
-    def _steps_fn(self, k: int):
+    def _shardings(self, state, params):
+        from .parallel.mesh import state_shardings
+
+        ssh = state_shardings(state, self.mesh)
+        repl = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec()
+        )
+        psh = jax.tree_util.tree_map(lambda _: repl, params)
+        return ssh, psh
+
+    def _get_refresh(self, state, params):
+        if self._refresh_jit is None:
+            fn = partial(refresh_contacts, cfg=self.cfg)
+            if self.mesh is not None:
+                ssh, psh = self._shardings(state, params)
+                self._refresh_jit = jax.jit(
+                    fn, in_shardings=(ssh, psh), out_shardings=ssh
+                )
+            else:
+                self._refresh_jit = jax.jit(fn)
+        return self._refresh_jit
+
+    def _steps_fn(self, k: int, state, params):
         fn = self._step_cache.get(k)
         if fn is None:
-            fn = jax.jit(
-                partial(run_steps, cfg=self.cfg, n_steps=k),
-                donate_argnums=(0,),
-            )
+            base = partial(run_steps, cfg=self.cfg, n_steps=k)
+            if self.mesh is not None:
+                ssh, psh = self._shardings(state, params)
+                fn = jax.jit(
+                    base, in_shardings=(ssh, psh), out_shardings=ssh,
+                    donate_argnums=(0,),
+                )
+            else:
+                fn = jax.jit(base, donate_argnums=(0,))
             self._step_cache[k] = fn
         return fn
 
@@ -304,7 +336,7 @@ class Engine:
         """Refresh with automatic capacity growth (lossless: retries from the
         retained pre-refresh state)."""
         for _ in range(16):
-            new_state = self._refresh(state, params)
+            new_state = self._get_refresh(state, params)(state, params)
             ovf = int(new_state.overflow)
             if not (ovf & _CAP_OVF):
                 if ovf & OVF_VEL:
@@ -324,6 +356,6 @@ class Engine:
         while done < n_steps:
             k = min(update_freq, n_steps - done)
             state = self.refresh(state, params)
-            state = self._steps_fn(k)(state, params)
+            state = self._steps_fn(k, state, params)(state, params)
             done += k
         return state

@@ -1,0 +1,100 @@
+"""Multi-chip sharding: the same simulation on an 8-device mesh must
+compile, run, and agree with the single-device result."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dem_engine_tpu.defines import ANAL_PLANE, TimeIntegrator
+from dem_engine_tpu.initializer import (
+    make_analyticals,
+    make_owners,
+    make_params,
+    make_spheres,
+    make_state,
+)
+from dem_engine_tpu.models import HertzianForceModel
+from dem_engine_tpu.parallel.mesh import make_mesh, shard_state
+from dem_engine_tpu.solver import Engine
+from dem_engine_tpu.state import SolverConfig
+from dem_engine_tpu.ops import voxel
+
+R = 0.01
+RHO = 2500.0
+
+
+def _setup(cap_ss=512, cap_sa=512):
+    cfg = SolverConfig(
+        voxel_size=1.0 / 2**16,
+        integrator=TimeIntegrator.CENTERED_DIFFERENCE,
+        force_model=HertzianForceModel(),
+        cap_ss=cap_ss, cap_st=8, cap_sa=cap_sa,
+    )
+    mass = RHO * 4 / 3 * np.pi * R**3
+    moi = 2 / 5 * mass * R**2
+    # 4x4x2 = 32 spheres (divisible by 8)
+    xs = 0.5 + (np.arange(4) - 1.5) * 2.1 * R
+    zs = 0.2 + R + np.arange(2) * 2.1 * R
+    g = np.stack(np.meshgrid(xs, xs, zs, indexing="ij"), -1).reshape(-1, 3)
+    n = g.shape[0]
+    owners = make_owners(
+        pos=g, voxel_size=cfg.voxel_size,
+        mass=np.full(n, mass), moi=np.full((n, 3), moi),
+    )
+    plane = make_owners(
+        pos=np.asarray([[0.5, 0.5, 0.2]]), voxel_size=cfg.voxel_size,
+        family=[255], mass=[1e30], moi=np.full((1, 3), 1e30),
+    )
+    owners = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b], 0), owners, plane
+    )
+    spheres = make_spheres(
+        owner=np.arange(n), relpos=np.zeros((n, 3)), radius=np.full(n, R)
+    )
+    anals = make_analyticals(
+        owner=[n], objtype=[ANAL_PLANE], relpos=np.zeros((1, 3)),
+        direction=[[0, 0, 1.0]], size=np.zeros((1, 3)), normal_sign=[1.0],
+    )
+    state = make_state(owners, spheres, cfg, anals=anals)
+    mats = {"E": np.asarray([1e8], np.float32),
+            "nu": np.asarray([0.3], np.float32)}
+    pairs = {
+        "CoR": np.asarray([[0.4]], np.float32),
+        "mu": np.asarray([[0.4]], np.float32),
+        "Crr": np.asarray([[0.0]], np.float32),
+    }
+    params = make_params(
+        h=5e-6, gravity=[0, 0, -9.81], domain=[1, 1, 1],
+        materials=mats, pair_materials=pairs, update_freq=20,
+    )
+    return cfg, state, params, n
+
+
+def test_eight_device_mesh_matches_single():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    cfg, state, params, n = _setup()
+
+    eng1 = Engine(cfg)
+    s1 = eng1.advance(state, params, 400, update_freq=20)
+
+    mesh = make_mesh(8)
+    cfg2, state2, params2, _ = _setup()
+    state2 = shard_state(state2, mesh)
+    eng8 = Engine(cfg2, mesh=mesh)
+    s8 = eng8.advance(state2, params2, 400, update_freq=20)
+
+    p1 = voxel.decode_host(
+        np.asarray(s1.owners.vox), np.asarray(s1.owners.loc), cfg.voxel_size
+    )
+    p8 = voxel.decode_host(
+        np.asarray(s8.owners.vox), np.asarray(s8.owners.loc), cfg.voxel_size
+    )
+    # trajectories agree to f32 reduction-order tolerance
+    np.testing.assert_allclose(p1, p8, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.owners.vel), np.asarray(s8.owners.vel), atol=5e-3
+    )
+    # result is actually sharded across devices
+    shards = s8.ss.idA.sharding
+    assert len(shards.device_set) == 8
