@@ -319,6 +319,7 @@ class DEMSolver:
         self._prescriptions: Dict[int, FamilyPrescription] = {}
         self._family_changes: List[FamilyChange] = []
         self._family_mask = np.ones((NUM_FAMILIES, NUM_FAMILIES), bool)
+        self._family_persist = np.zeros((NUM_FAMILIES, NUM_FAMILIES), bool)
         self._family_extra_margin = np.zeros(NUM_FAMILIES, np.float32)
         self._no_output_families: set = set()
         self._force_model: ForceModel = HertzianForceModel()
@@ -719,14 +720,31 @@ class DEMSolver:
             spheres=spheres.replace(wildcards=wc)
         )
 
-    def MarkFamilyPersistentContact(self, family: int = None):
-        """Enable contact persistency (reference API.h:870-905)."""
+    def MarkFamilyPersistentContact(self, family: Optional[int] = None):
+        """Contacts involving `family` (all families if None) stay in the
+        table with their wildcards even when no longer detected — the
+        bonded/fracture-model enabler (reference API.h:870-905)."""
         self._use_persistency = True
+        if family is None:
+            self._family_persist[:, :] = True
+        else:
+            self._family_persist[family, :] = True
+            self._family_persist[:, family] = True
         if self._initialized:
-            self.engine.cfg = self.engine.cfg.__class__(
-                **{**self.engine.cfg.__dict__, "use_persistency": True}
+            import dataclasses as _dc
+
+            self.engine.cfg = _dc.replace(
+                self.engine.cfg, use_persistency=True
             )
             self.engine._build()
+            self._rebuild_params()
+
+    def MarkPersistentContactBetweenFamilies(self, famA: int, famB: int):
+        self._use_persistency = True
+        self._family_persist[famA, famB] = True
+        self._family_persist[famB, famA] = True
+        if self._initialized:
+            self._rebuild_params()
 
     # ------------------------------------------------------------------
     # initialization (reference APIPublic.cpp:2161)
@@ -1021,6 +1039,7 @@ class DEMSolver:
             approx_max_vel=self._approx_max_vel,
             error_out_vel=self._error_out_vel,
             family_mask=self._family_mask,
+            family_persist=self._family_persist,
             family_extra_margin=self._family_extra_margin,
         )
 

@@ -159,10 +159,13 @@ def make_params(
     approx_max_vel: float = 1e30,
     error_out_vel: float = 5e4,
     family_mask: Optional[np.ndarray] = None,
+    family_persist: Optional[np.ndarray] = None,
     family_extra_margin: Optional[np.ndarray] = None,
 ) -> RuntimeParams:
     if family_mask is None:
         family_mask = np.ones((256, 256), bool)
+    if family_persist is None:
+        family_persist = np.zeros((256, 256), bool)
     if family_extra_margin is None:
         family_extra_margin = np.zeros((256,), np.float32)
     return RuntimeParams(
@@ -175,6 +178,7 @@ def make_params(
         error_out_vel=_f(error_out_vel),
         max_drift=_i(update_freq),
         family_mask=jnp.asarray(family_mask),
+        family_persist=jnp.asarray(family_persist),
         family_extra_margin=_f(family_extra_margin, (256,)),
         mat_props={k: _f(v) for k, v in materials.items()},
         pair_props={k: _f(v) for k, v in pair_materials.items()},

@@ -99,6 +99,18 @@ def tri_world_nodes(owners, tris, voxel_size):
 # ---------------------------------------------------------------------------
 
 
+def _mark_persistent(table, famA_src, famB_src, params):
+    """Mark contacts persistent by family-pair rule
+    (MarkFamilyPersistentContact, reference API.h:870-905)."""
+    live = table.idA >= 0
+    fa = famA_src[jnp.where(live, table.idA, 0)]
+    fb = famB_src[jnp.where(live, table.idB, 0)]
+    mark = params.family_persist[fa, fb] & live
+    return table.replace(
+        persist=jnp.where(mark, 1, table.persist)
+    )
+
+
 def refresh_contacts(state: SimState, params: RuntimeParams,
                      cfg: SolverConfig) -> SimState:
     vs = cfg.voxel_size
@@ -124,6 +136,8 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         state.ss, idA, idB, jnp.minimum(n_ss, cfg.cap_ss), wc_names,
         cfg.use_persistency,
     )
+    if cfg.use_persistency:
+        ss = _mark_persistent(ss, sph_family, sph_family, params)
     overflow = jnp.where(n_ss > cfg.cap_ss, OVF_SS_CAP, 0).astype(I)
     overflow |= jnp.where(ss.count > cfg.cap_ss, OVF_SS_CAP, 0)
     ss = ss.replace(count=jnp.minimum(ss.count, cfg.cap_ss))
@@ -150,6 +164,8 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             state.st, tA, tB, jnp.minimum(n_st, cfg.cap_st), wc_names,
             cfg.use_persistency,
         )
+        if cfg.use_persistency:
+            st = _mark_persistent(st, sph_family, tri_fam, params)
         overflow |= jnp.where(n_st > cfg.cap_st, OVF_ST_CAP, 0)
         overflow |= jnp.where(st.count > cfg.cap_st, OVF_ST_CAP, 0)
         st = st.replace(count=jnp.minimum(st.count, cfg.cap_st))
@@ -182,6 +198,10 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             state.sa, aA, aB, jnp.minimum(n_sa, cfg.cap_sa), wc_names,
             cfg.use_persistency,
         )
+        if cfg.use_persistency:
+            sa = _mark_persistent(
+                sa, sph_family, owners.family[anals.owner], params
+            )
         overflow |= jnp.where(n_sa > cfg.cap_sa, OVF_SA_CAP, 0)
         overflow |= jnp.where(sa.count > cfg.cap_sa, OVF_SA_CAP, 0)
         sa = sa.replace(count=jnp.minimum(sa.count, cfg.cap_sa))

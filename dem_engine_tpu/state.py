@@ -243,6 +243,7 @@ class RuntimeParams:
     error_out_vel: jnp.ndarray     # f32[]
     max_drift: jnp.ndarray         # i32[] steps the contact table stays live
     family_mask: jnp.ndarray       # bool[256,256] True => contact enabled
+    family_persist: jnp.ndarray    # bool[256,256] True => mark persistent
     family_extra_margin: jnp.ndarray  # f32[256]
     mat_props: Dict[str, jnp.ndarray]   # per-material: each f32[M]
     pair_props: Dict[str, jnp.ndarray]  # pairwise-mixed: each f32[M,M]
