@@ -45,9 +45,12 @@ ANAL_CYL_INF = 2
 ANAL_CONE = 3
 ANAL_BOX = 4
 
-# Entity normal direction (reference Defines.h:70-72)
-ENTITY_NORMAL_INWARD = -1.0
-ENTITY_NORMAL_OUTWARD = 1.0
+# Entity normal direction as the narrow-phase sign convention
+# (reference checkSphereEntityOverlap: overlap = r - sign*(cyl_rad - dr);
+# INWARD keeps spheres inside a drum => sign +1, OUTWARD keeps them outside
+# a pillar => sign -1)
+ENTITY_NORMAL_INWARD = 1.0
+ENTITY_NORMAL_OUTWARD = -1.0
 
 # Owner types (reference Defines.h:88-90)
 OWNER_CLUMP = 1

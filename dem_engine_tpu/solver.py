@@ -269,6 +269,30 @@ def run_steps(state: SimState, params: RuntimeParams, cfg: SolverConfig,
     return state
 
 
+def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
+               n_chunks: int, k: int) -> SimState:
+    """The fused hot loop: n_chunks × (CD refresh + k dynamics steps) in ONE
+    compiled program. This is the full collapse of DEME's kT/dT pipeline:
+    zero host round-trips inside; overflow flags accumulate across chunks
+    and are checked once on the host afterwards (rewind-and-grow on
+    overflow)."""
+
+    def chunk(s, _):
+        s = refresh_contacts(s, params, cfg)
+        ovf = s.overflow
+        s = run_steps(s, params, cfg, k)
+        return s.replace(overflow=ovf), None
+
+    def chunk_acc(s, _):
+        prev = s.overflow
+        s, _ = chunk(s, None)
+        return s.replace(overflow=prev | s.overflow), None
+
+    state = state.replace(overflow=jnp.zeros((), I))
+    state, _ = jax.lax.scan(chunk_acc, state, length=n_chunks)
+    return state
+
+
 # ---------------------------------------------------------------------------
 # host-side engine
 # ---------------------------------------------------------------------------
@@ -284,14 +308,30 @@ class Engine:
     inserts the ICI collectives (see parallel/mesh.py).
     """
 
-    def __init__(self, cfg: SolverConfig, mesh=None):
+    def __init__(self, cfg: SolverConfig, mesh=None, fuse: int = 8):
         self.cfg = cfg
         self.mesh = mesh
+        self.fuse = fuse  # chunks per fused dispatch (amortizes latency)
         self._build()
 
     def _build(self):
         self._refresh_jit = None
         self._step_cache: Dict[int, callable] = {}
+        self._chunks_cache: Dict[tuple, callable] = {}
+
+    def _chunks_fn(self, n_chunks: int, k: int, state, params):
+        key = (n_chunks, k)
+        fn = self._chunks_cache.get(key)
+        if fn is None:
+            base = partial(run_chunks, cfg=self.cfg, n_chunks=n_chunks, k=k)
+            if self.mesh is not None:
+                ssh, psh = self._shardings(state, params)
+                fn = jax.jit(base, in_shardings=(ssh, psh),
+                             out_shardings=ssh)
+            else:
+                fn = jax.jit(base)
+            self._chunks_cache[key] = fn
+        return fn
 
     def _shardings(self, state, params):
         from .parallel.mesh import state_shardings
@@ -371,11 +411,36 @@ class Engine:
 
     def advance(self, state: SimState, params: RuntimeParams,
                 n_steps: int, update_freq: int) -> SimState:
-        """The DoDynamics hot loop: refresh every `update_freq` steps."""
+        """The DoDynamics hot loop: refresh every `update_freq` steps.
+
+        Full spans run through the fused multi-chunk program (`run_chunks`,
+        one device dispatch per `fuse` chunks, overflow checked after with
+        rewind-and-grow); the remainder uses the per-chunk path.
+        """
         done = 0
+        while n_steps - done >= self.fuse * update_freq:
+            fn = self._chunks_fn(self.fuse, update_freq, state, params)
+            prev = state
+            new = fn(state, params)
+            ovf = int(new.overflow)
+            if ovf & _CAP_OVF:
+                state = self.grow_for(prev, ovf)
+                continue  # rewind: retry the same span with grown tables
+            self._check_vel(new, ovf)
+            state = new
+            done += self.fuse * update_freq
         while done < n_steps:
             k = min(update_freq, n_steps - done)
             state = self.refresh(state, params)
             state = self._steps_fn(k, state, params)(state, params)
             done += k
         return state
+
+    @staticmethod
+    def _check_vel(state, ovf: int):
+        if ovf & OVF_VEL:
+            raise RuntimeError(
+                "Simulation diverged: max system velocity "
+                f"{float(state.max_vel):.3g} exceeds the error-out "
+                "threshold (SetErrorOutVelocity)."
+            )

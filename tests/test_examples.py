@@ -1,0 +1,44 @@
+"""Smoke tests of the demo programs (the reference's validation style:
+demos as integration tests, SURVEY.md §4)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "examples")
+
+
+def test_rotating_drum_smoke():
+    from rotating_drum import build
+
+    solver, batch, n = build(n_clumps=48, update_freq=20, h=1e-5)
+    assert n > 16
+    solver.DoDynamics(0.15)
+    pos = solver.GetOwnerPosition()[: solver.GetNumClumps()]
+    vel = solver.GetOwnerVelocity()[: solver.GetNumClumps()]
+    assert np.isfinite(pos).all() and np.isfinite(vel).all()
+    # everything stayed inside the drum (radius 0.12 in x-z)
+    rad = np.sqrt(pos[:, 0] ** 2 + pos[:, 2] ** 2)
+    assert rad.max() < 0.12, rad.max()
+    # the spinning drum does work on the bed: particles near the wall get
+    # dragged; net angular momentum about y axis should be nonzero
+    ly = np.mean(pos[:, 2] * vel[:, 0] - pos[:, 0] * vel[:, 2])
+    assert abs(ly) > 1e-7
+
+
+def test_ball_drop_smoke():
+    from ball_drop import build
+
+    solver, tracker, mesh, n = build(n_side=3, verbosity="QUIET", h=1e-5)
+    z0 = tracker.Pos()[2]
+    solver.DoDynamics(0.1)
+    z1 = tracker.Pos()[2]
+    assert z1 < z0  # ball fell
+    pos = solver.GetOwnerPosition()[: solver.GetNumClumps()]
+    assert np.isfinite(pos).all()
+    # ball did not tunnel through the bed/floor
+    assert z1 > -0.3
+    # contact forces on the ball retrievable through the tracker
+    pts, fs = tracker.GetContactForces()
+    assert pts.shape[1] == 3
