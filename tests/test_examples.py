@@ -42,3 +42,32 @@ def test_ball_drop_smoke():
     # contact forces on the ball retrievable through the tracker
     pts, fs = tracker.GetContactForces()
     assert pts.shape[1] == 3
+
+
+def test_wheel_dp_smoke():
+    from wheel_dp import build
+
+    solver, tracker, n = build(n_side=4, verbosity="QUIET", h=1e-5)
+    x0 = tracker.Pos()[0]
+    solver.DoDynamics(0.05)
+    x1 = tracker.Pos()[0]
+    # wheel advanced at the prescribed velocity
+    vx = 2.0 * 0.05 * (1 - 0.2)
+    np.testing.assert_allclose(x1 - x0, vx * 0.05, rtol=0.05)
+    pos = solver.GetOwnerPosition()[: solver.GetNumClumps()]
+    assert np.isfinite(pos).all()
+
+
+def test_game_of_life_generations():
+    from game_of_life import build, ALIVE
+
+    solver, batch, fam0 = build(n=12, verbosity="QUIET")
+    counts = []
+    for _ in range(4):
+        solver.DoStepDynamics()
+        fam = solver.GetOwnerFamily()[: solver.GetNumClumps()]
+        counts.append(int((fam == ALIVE).sum()))
+    # the automaton evolves (population changes at least once)
+    assert len(set(counts + [int((fam0 == ALIVE).sum())])) > 1
+    # and stays within the board
+    assert all(0 <= c <= 12 * 12 for c in counts)
