@@ -72,30 +72,24 @@ def flat_bin(idx3, nb):
 
 @dataclasses.dataclass
 class SphereBinTable:
-    """Sorted (bin, sphere) table shared by the SS and ST sweeps."""
+    """Sorted (bin, sphere) table shared by the SS and ST sweeps.
+
+    `rec` packs the candidate payload [pos3, reach, owner, family, id] into
+    one f32 row per sphere so the sweep does a single wide row-gather per
+    candidate slot instead of many scalar gathers (TPU gathers cost per
+    row, not per element). Integer payloads are exact in f32 below 2^24.
+    """
 
     sorted_bin: jnp.ndarray   # i32[Spad]
+    rec: jnp.ndarray          # f32[Spad,7] pos3 reach owner family id
     order: jnp.ndarray        # i32[Spad] original sphere id (=S for padding)
-    pos: jnp.ndarray          # f32[Spad,3] sorted positions
-    reach: jnp.ndarray        # f32[Spad] sorted radius+margin
-    owner: jnp.ndarray        # i32[Spad]
-    family: jnp.ndarray       # i32[Spad]
     idx3: jnp.ndarray         # i32[Spad,3] sorted 3d bin indices
     max_occ: jnp.ndarray      # i32[] max spheres in any bin
 
 
 jax.tree_util.register_dataclass(
     SphereBinTable,
-    data_fields=(
-        "sorted_bin",
-        "order",
-        "pos",
-        "reach",
-        "owner",
-        "family",
-        "idx3",
-        "max_occ",
-    ),
+    data_fields=("sorted_bin", "rec", "order", "idx3", "max_occ"),
     meta_fields=(),
 )
 
@@ -115,10 +109,17 @@ def build_sphere_table(pos, reach, owner, family, bin_size, nb, pad_to):
         )
         order = jnp.concatenate([order, jnp.full((pad,), S, I)])
     take = partial(jnp.take, indices=jnp.minimum(order, S - 1), axis=0)
-    spos = take(pos)
-    sreach = jnp.where(order < S, take(reach), -1e30)
-    sown = jnp.where(order < S, take(owner), -1)
-    sfam = jnp.where(order < S, take(family), 0)
+    live = (order < S).astype(F)
+    rec = jnp.concatenate(
+        [
+            take(pos),
+            jnp.where(order < S, take(reach), -1e30)[:, None],
+            jnp.where(order < S, take(owner), -1).astype(F)[:, None],
+            jnp.where(order < S, take(family), 0).astype(F)[:, None],
+            order.astype(F)[:, None],
+        ],
+        axis=1,
+    )
     sidx3 = take(idx3)
 
     # max bin occupancy via run-length over the sorted bins
@@ -130,9 +131,7 @@ def build_sphere_table(pos, reach, owner, family, bin_size, nb, pad_to):
     occ = jnp.where(sorted_bin != _SENTINEL_BIN, k - run_start + 1, 0)
     max_occ = occ.max() if pad_to > 0 else jnp.zeros((), I)
 
-    return SphereBinTable(
-        sorted_bin, order, spos, sreach, sown, sfam, sidx3, max_occ
-    )
+    return SphereBinTable(sorted_bin, rec, order, sidx3, max_occ)
 
 
 def _compact(hit_flat, payloads, cap, base_total, outs):
@@ -177,11 +176,12 @@ def find_pairs_ss(pos, reach, owner, family, family_mask, bin_size, nb,
         k0 = ci * chunk
         kk = k0 + jnp.arange(chunk, dtype=I)
         my_idx3 = jax.lax.dynamic_slice_in_dim(tab.idx3, k0, chunk)
-        my_pos = jax.lax.dynamic_slice_in_dim(tab.pos, k0, chunk)
-        my_reach = jax.lax.dynamic_slice_in_dim(tab.reach, k0, chunk)
-        my_own = jax.lax.dynamic_slice_in_dim(tab.owner, k0, chunk)
-        my_fam = jax.lax.dynamic_slice_in_dim(tab.family, k0, chunk)
-        my_id = jax.lax.dynamic_slice_in_dim(tab.order, k0, chunk)
+        my_rec = jax.lax.dynamic_slice_in_dim(tab.rec, k0, chunk)
+        my_pos = my_rec[:, 0:3]
+        my_reach = my_rec[:, 3]
+        my_own = my_rec[:, 4]
+        my_fam = my_rec[:, 5].astype(I)
+        my_id = my_rec[:, 6].astype(I)
         row_ok = my_id < S
 
         tgt3 = my_idx3[:, None, :] + offs[None, :, :]          # (ch,14,3)
@@ -197,11 +197,12 @@ def find_pairs_ss(pos, reach, owner, family, family_mask, bin_size, nb,
         valid &= jnp.where(same_bin, slots > kk[:, None, None], True)
         valid &= row_ok[:, None, None]
 
-        cpos = tab.pos[slots_c]
-        cre = tab.reach[slots_c]
-        cown = tab.owner[slots_c]
-        cfam = tab.family[slots_c]
-        cid = tab.order[slots_c]
+        crec = tab.rec[slots_c]            # one wide row-gather
+        cpos = crec[..., 0:3]
+        cre = crec[..., 3]
+        cown = crec[..., 4]
+        cfam = crec[..., 5].astype(I)
+        cid = crec[..., 6].astype(I)
 
         d = my_pos[:, None, None, :] - cpos
         d2 = jnp.sum(d * d, axis=-1)
@@ -269,11 +270,12 @@ def find_pairs_st(aabb_min, aabb_max, tri_owner, tri_family, tab: SphereBinTable
     cand_bin = tab.sorted_bin[slots_c]
     valid = (cand_bin == tgt[..., None]) & (slots < spad)
 
-    cpos = tab.pos[slots_c]
-    cre = tab.reach[slots_c]
-    cown = tab.owner[slots_c]
-    cfam = tab.family[slots_c]
-    cid = tab.order[slots_c]
+    crec = tab.rec[slots_c]
+    cpos = crec[..., 0:3]
+    cre = crec[..., 3]
+    cown = crec[..., 4].astype(I)
+    cfam = crec[..., 5].astype(I)
+    cid = crec[..., 6].astype(I)
 
     # coarse test: sphere center within reach of the tri AABB
     clamped = jnp.clip(cpos, aabb_min[:, None, None, :], aabb_max[:, None, None, :])

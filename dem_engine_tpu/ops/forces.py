@@ -38,7 +38,51 @@ from . import narrowphase, quat
 from .voxel import rel_pos
 
 
-def _gather_owner(owners: Owners, idx):
+# ---------------------------------------------------------------------------
+# record packing: TPU gathers are far cheaper as ONE wide row-gather than as
+# many scalar gathers, so the hot per-owner fields are packed into a single
+# f32 matrix once per step (elementwise, cheap) and unpacked after the
+# gather. Integer fields are exact in f32 up to 2^24 (voxel indices are
+# bounded by 2^20, families by 256).
+# ---------------------------------------------------------------------------
+
+_OWNER_REC_W = 21  # vox3 loc3 quat4 vel3 omg3 mass1 moi3 family1
+
+
+def pack_owner_records(owners: Owners):
+    return jnp.concatenate(
+        [
+            owners.vox.astype(F),
+            owners.loc,
+            owners.quat,
+            owners.vel,
+            owners.omg,
+            owners.mass[:, None],
+            owners.moi,
+            owners.family.astype(F)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def _unpack_owner(rec, owners: Owners, idx):
+    d = dict(
+        vox=rec[:, 0:3].astype(I),
+        loc=rec[:, 3:6],
+        quat=rec[:, 6:10],
+        vel=rec[:, 10:13],
+        omg=rec[:, 13:16],
+        mass=rec[:, 16],
+        moi=rec[:, 17:20],
+        family=rec[:, 20].astype(I),
+        wc={k: v[idx] for k, v in owners.wildcards.items()},
+    )
+    return d
+
+
+def _gather_owner(owners: Owners, idx, rec_table=None):
+    if rec_table is not None:
+        return _unpack_owner(rec_table[idx], owners, idx)
     return dict(
         vox=owners.vox[idx],
         loc=owners.loc[idx],
@@ -93,6 +137,21 @@ def _make_ctx(table, overlap, b2a, cp_a, cp_b, A, B, a_geo, b_geo,
     )
 
 
+_SPH_REC_W = 6  # owner1 relpos3 radius1 mat1
+
+
+def pack_sphere_records(spheres: Spheres):
+    return jnp.concatenate(
+        [
+            spheres.owner.astype(F)[:, None],
+            spheres.relpos,
+            spheres.radius[:, None],
+            spheres.mat.astype(F)[:, None],
+        ],
+        axis=1,
+    )
+
+
 def contact_pass(
     kind: str,
     table: ContactTable,
@@ -104,35 +163,43 @@ def contact_pass(
     time,
     voxel_size: float,
     model,
+    owner_rec=None,
+    sph_rec=None,
 ):
     """Evaluate one contact class. Returns per-contact arrays:
     (ownerA, ownerB, F, F_tq, cp_a, cp_b, quatA, quatB, new_table)."""
     live = table.idA >= 0
     iA = jnp.where(live, table.idA, 0)
     iB = jnp.where(live, table.idB, 0)
+    if owner_rec is None:
+        owner_rec = pack_owner_records(owners)
+    if sph_rec is None:
+        sph_rec = pack_sphere_records(spheres)
 
-    own_a = spheres.owner[iA]
-    A = _gather_owner(owners, own_a)
+    ra = sph_rec[iA]
+    own_a = ra[:, 0].astype(I)
+    A = _gather_owner(owners, own_a, owner_rec)
     A["owner_id"] = own_a
-    rel_a = quat.rotate(A["quat"], spheres.relpos[iA])
-    rad_a = spheres.radius[iA]
-    mat_a = spheres.mat[iA]
+    rel_a = quat.rotate(A["quat"], ra[:, 1:4])
+    rad_a = ra[:, 4]
+    mat_a = ra[:, 5].astype(I)
     geo_wc_a = {k: v[iA] for k, v in spheres.wildcards.items()}
 
     if kind == "ss":
-        own_b = spheres.owner[iB]
-        B = _gather_owner(owners, own_b)
+        rb = sph_rec[iB]
+        own_b = rb[:, 0].astype(I)
+        B = _gather_owner(owners, own_b, owner_rec)
         B["owner_id"] = own_b
         d = rel_pos(B["vox"], B["loc"], A["vox"], A["loc"], voxel_size)
-        pos_b = d + quat.rotate(B["quat"], spheres.relpos[iB])
-        rad_b = spheres.radius[iB]
-        mat_b = spheres.mat[iB]
+        pos_b = d + quat.rotate(B["quat"], rb[:, 1:4])
+        rad_b = rb[:, 4]
+        mat_b = rb[:, 5].astype(I)
         geo_wc_b = {k: v[iB] for k, v in spheres.wildcards.items()}
         overlap, b2a, cp = narrowphase.sphere_sphere(rel_a, rad_a, pos_b, rad_b)
         ctype = SPHERE_SPHERE_CONTACT
     elif kind == "st":
         own_b = tris.owner[iB]
-        B = _gather_owner(owners, own_b)
+        B = _gather_owner(owners, own_b, owner_rec)
         B["owner_id"] = own_b
         d = rel_pos(B["vox"], B["loc"], A["vox"], A["loc"], voxel_size)
         nodes = quat.rotate(B["quat"][:, None, :], tris.nodes[iB]) + d[:, None, :]
@@ -145,7 +212,7 @@ def contact_pass(
         ctype = SPHERE_MESH_CONTACT
     elif kind == "sa":
         own_b = anals.owner[iB]
-        B = _gather_owner(owners, own_b)
+        B = _gather_owner(owners, own_b, owner_rec)
         B["owner_id"] = own_b
         d = rel_pos(B["vox"], B["loc"], A["vox"], A["loc"], voxel_size)
         obj_pos = d + quat.rotate(B["quat"], anals.relpos[iB])
@@ -183,38 +250,74 @@ def contact_pass(
     )
     owner_a = jnp.where(live, own_a, -1)
     owner_b = jnp.where(live, own_b, -1)
+
+    # per-contact, per-side wrench records [force(3), body-frame torque(3)]
+    f_tot = force + torque_only
+    lcp_a = quat.rotate_inv(A["quat"], cp_a)
+    tq_a = jnp.cross(lcp_a, quat.rotate_inv(A["quat"], f_tot))
+    lcp_b = quat.rotate_inv(B["quat"], cp_b)
+    tq_b = jnp.cross(lcp_b, quat.rotate_inv(B["quat"], -f_tot))
+
     return dict(
         owner_a=owner_a,
         owner_b=owner_b,
         force=force,
         torque_only=torque_only,
-        cp_a=cp_a,
-        cp_b=cp_b,
-        quat_a=A["quat"],
-        quat_b=B["quat"],
+        rec_a=jnp.concatenate([force, tq_a], axis=1),
+        rec_b=jnp.concatenate([-force, tq_b], axis=1),
         table=new_table,
     )
 
 
 def reduce_wrench(n_owners: int, passes) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sum per-contact forces/torques into per-owner force & body-frame
-    torque accumulators (division by mass/MOI happens in the integrator)."""
-    f_acc = jnp.zeros((n_owners, 3), F)
-    t_acc = jnp.zeros((n_owners, 3), F)
+    """Sum per-contact wrench records into per-owner force & body-frame
+    torque accumulators via scatter-add (division by mass/MOI happens in the
+    integrator)."""
+    acc = jnp.zeros((n_owners, 6), F)
     for p in passes:
-        f_tot = p["force"] + p["torque_only"]
-        # A side
         ia = jnp.where(p["owner_a"] >= 0, p["owner_a"], n_owners)
-        lcp_a = quat.rotate_inv(p["quat_a"], p["cp_a"])
-        fl_a = quat.rotate_inv(p["quat_a"], f_tot)
-        tq_a = jnp.cross(lcp_a, fl_a)
-        f_acc = f_acc.at[ia].add(p["force"], mode="drop")
-        t_acc = t_acc.at[ia].add(tq_a, mode="drop")
-        # B side
+        acc = acc.at[ia].add(p["rec_a"], mode="drop")
         ib = jnp.where(p["owner_b"] >= 0, p["owner_b"], n_owners)
-        lcp_b = quat.rotate_inv(p["quat_b"], p["cp_b"])
-        fl_b = quat.rotate_inv(p["quat_b"], -f_tot)
-        tq_b = jnp.cross(lcp_b, fl_b)
-        f_acc = f_acc.at[ib].add(-p["force"], mode="drop")
-        t_acc = t_acc.at[ib].add(tq_b, mode="drop")
-    return f_acc, t_acc
+        acc = acc.at[ib].add(p["rec_b"], mode="drop")
+    return acc[:, :3], acc[:, 3:]
+
+
+def build_reduction_plan(owner_ids, n_owners: int, depth: int):
+    """Per-owner gather plan: plan[(owner, d)] = contact slot of the d-th
+    contact this owner participates in (== cap for none).
+
+    Built once per CD refresh; per step the wrench reduction becomes D wide
+    row-gathers + a dense sum — no scatter in the hot loop. This is the TPU
+    answer to DEME's sort+reduce-by-key force collection
+    (DEMCubForceCollection.cu:19, incl. its owner-index caching :45-64).
+    Returns (plan i32[n_owners*depth], overflow bool).
+    """
+    cap = owner_ids.shape[0]
+    own = jnp.where(owner_ids >= 0, owner_ids, n_owners)
+    so, slot = jax.lax.sort((own, jnp.arange(cap, dtype=I)), num_keys=1)
+    k = jnp.arange(cap, dtype=I)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), so[1:] != so[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(boundary, k, 0))
+    rank = k - run_start
+    ok = (so < n_owners) & (rank < depth)
+    dest = jnp.where(ok, so * depth + rank, n_owners * depth)
+    plan = jnp.full((n_owners * depth,), cap, I).at[dest].set(
+        slot, mode="drop", unique_indices=True
+    )
+    overflow = jnp.any((so < n_owners) & (rank >= depth))
+    return plan, overflow
+
+
+def reduce_wrench_gather(n_owners: int, passes, depth: int):
+    """Gather-plan wrench reduction (see build_reduction_plan)."""
+    acc = jnp.zeros((n_owners, 6), F)
+    for p in passes:
+        table = p["table"]
+        for rec, plan in ((p["rec_a"], table.plan_a),
+                          (p["rec_b"], table.plan_b)):
+            padded = jnp.concatenate([rec, jnp.zeros((1, 6), F)], axis=0)
+            idx = plan.reshape(n_owners, depth)
+            acc = acc + padded[idx].sum(axis=1)
+    return acc[:, :3], acc[:, 3:]

@@ -126,4 +126,6 @@ def carry_history(
         torque=jnp.zeros((cap, 3), F),
         cpoint=jnp.zeros((cap, 3), F),
         wildcards=wildcards,
+        plan_a=old.plan_a,  # stale; the caller rebuilds plans post-carry
+        plan_b=old.plan_b,
     )

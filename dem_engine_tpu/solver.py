@@ -30,6 +30,7 @@ from .models.prescriptions import PrescriptionTables
 from .ops import binning, forces, history, integrator, quat, voxel
 from .state import (
     OVF_BIN_OCC,
+    OVF_PLAN,
     OVF_SA_CAP,
     OVF_SS_CAP,
     OVF_ST_CAP,
@@ -99,6 +100,17 @@ def tri_world_nodes(owners, tris, voxel_size):
 # ---------------------------------------------------------------------------
 
 
+def _with_plans(table, owner_src_a, owner_src_b, n_owners, depth):
+    """Attach gather-reduction plans to a freshly built table."""
+    live = table.idA >= 0
+    oa = jnp.where(live, owner_src_a[jnp.where(live, table.idA, 0)], -1)
+    ob = jnp.where(live, owner_src_b[jnp.where(live, table.idB, 0)], -1)
+    plan_a, ovf_a = forces.build_reduction_plan(oa, n_owners, depth)
+    plan_b, ovf_b = forces.build_reduction_plan(ob, n_owners, depth)
+    ovf = jnp.where(ovf_a | ovf_b, OVF_PLAN, 0).astype(I)
+    return table.replace(plan_a=plan_a, plan_b=plan_b), ovf
+
+
 def _mark_persistent(table, famA_src, famB_src, params):
     """Mark contacts persistent by family-pair rule
     (MarkFamilyPersistentContact, reference API.h:870-905)."""
@@ -139,6 +151,11 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     if cfg.use_persistency:
         ss = _mark_persistent(ss, sph_family, sph_family, params)
     overflow = jnp.where(n_ss > cfg.cap_ss, OVF_SS_CAP, 0).astype(I)
+    if cfg.reduce_mode == "gather":
+        ss, povf = _with_plans(
+            ss, spheres.owner, spheres.owner, owners.n, cfg.plan_d
+        )
+        overflow |= povf
     overflow |= jnp.where(ss.count > cfg.cap_ss, OVF_SS_CAP, 0)
     ss = ss.replace(count=jnp.minimum(ss.count, cfg.cap_ss))
     overflow |= jnp.where(max_occ > cfg.max_per_bin, OVF_BIN_OCC, 0)
@@ -166,6 +183,11 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         )
         if cfg.use_persistency:
             st = _mark_persistent(st, sph_family, tri_fam, params)
+        if cfg.reduce_mode == "gather":
+            st, povf = _with_plans(
+                st, spheres.owner, tris.owner, owners.n, cfg.plan_d
+            )
+            overflow |= povf
         overflow |= jnp.where(n_st > cfg.cap_st, OVF_ST_CAP, 0)
         overflow |= jnp.where(st.count > cfg.cap_st, OVF_ST_CAP, 0)
         st = st.replace(count=jnp.minimum(st.count, cfg.cap_st))
@@ -202,6 +224,11 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             sa = _mark_persistent(
                 sa, sph_family, owners.family[anals.owner], params
             )
+        if cfg.reduce_mode == "gather":
+            sa, povf = _with_plans(
+                sa, spheres.owner, anals.owner, owners.n, cfg.plan_d
+            )
+            overflow |= povf
         overflow |= jnp.where(n_sa > cfg.cap_sa, OVF_SA_CAP, 0)
         overflow |= jnp.where(sa.count > cfg.cap_sa, OVF_SA_CAP, 0)
         sa = sa.replace(count=jnp.minimum(sa.count, cfg.cap_sa))
@@ -233,14 +260,23 @@ def dynamics_step(state: SimState, params: RuntimeParams,
         if n_geo == 0 or table.cap == 0 or state.spheres.n == 0:
             new_tables[kind] = table
             continue
+        if not passes:  # pack shared gather records once per step
+            owner_rec = forces.pack_owner_records(owners)
+            sph_rec = forces.pack_sphere_records(state.spheres)
         p = forces.contact_pass(
             kind, table, owners, state.spheres, state.tris, state.anals,
             params, state.time, cfg.voxel_size, model,
+            owner_rec=owner_rec, sph_rec=sph_rec,
         )
         passes.append(p)
         new_tables[kind] = p["table"]
 
-    f_acc, t_acc = forces.reduce_wrench(owners.n, passes)
+    if cfg.reduce_mode == "gather":
+        f_acc, t_acc = forces.reduce_wrench_gather(
+            owners.n, passes, cfg.plan_d
+        )
+    else:
+        f_acc, t_acc = forces.reduce_wrench(owners.n, passes)
 
     tables_p = PrescriptionTables(cfg.prescriptions, state.time)
     owners = integrator.integrate_owners(
@@ -297,7 +333,8 @@ def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
 # host-side engine
 # ---------------------------------------------------------------------------
 
-_CAP_OVF = OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC | OVF_TRI_BINS
+_CAP_OVF = (OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC
+            | OVF_TRI_BINS | OVF_PLAN)
 
 
 class Engine:
@@ -384,12 +421,51 @@ class Engine:
             changes["max_per_bin"] = int(cfg.max_per_bin * _GROWTH) + 8
         if ovf & OVF_TRI_BINS:
             changes["max_tri_span"] = cfg.max_tri_span + 2
+        if ovf & OVF_PLAN:
+            changes["plan_d"] = int(cfg.plan_d * 1.5) + 8
         self.cfg = dataclasses.replace(cfg, **changes)
         self._build()
-        return state.replace(
+        state = state.replace(
             ss=state.ss.grown(self.cfg.cap_ss),
             st=state.st.grown(self.cfg.cap_st),
             sa=state.sa.grown(self.cfg.cap_sa),
+        )
+        if self.cfg.reduce_mode == "gather":
+            n = state.owners.n
+            psz = n * self.cfg.plan_d
+
+            def replan(t):
+                return t.replace(
+                    plan_a=jnp.full((psz,), t.cap, I),
+                    plan_b=jnp.full((psz,), t.cap, I),
+                )
+
+            state = state.replace(
+                ss=replan(state.ss), st=replan(state.st),
+                sa=replan(state.sa),
+            )
+        return state
+
+    def maybe_shrink(self, state: SimState) -> SimState:
+        """Shrink oversized contact capacities (cheap jits beat wasted
+        bandwidth: every per-slot cost scales with capacity, not count)."""
+        cfg = self.cfg
+        changes = {}
+        for attr, cap in (
+            ("ss", cfg.cap_ss), ("st", cfg.cap_st), ("sa", cfg.cap_sa),
+        ):
+            cnt = int(getattr(state, attr).count)
+            need = max(64, -(-int(cnt * 1.6 + 64) // 256) * 256)
+            if cap > 2 * need:
+                changes["cap_" + attr] = need
+        if not changes:
+            return state
+        self.cfg = dataclasses.replace(cfg, **changes)
+        self._build()
+        return state.replace(
+            ss=state.ss.shrunk(self.cfg.cap_ss),
+            st=state.st.shrunk(self.cfg.cap_st),
+            sa=state.sa.shrunk(self.cfg.cap_sa),
         )
 
     def refresh(self, state: SimState, params: RuntimeParams) -> SimState:
@@ -418,6 +494,7 @@ class Engine:
         rewind-and-grow); the remainder uses the per-chunk path.
         """
         done = 0
+        blocks = 0
         while n_steps - done >= self.fuse * update_freq:
             fn = self._chunks_fn(self.fuse, update_freq, state, params)
             prev = state
@@ -429,6 +506,9 @@ class Engine:
             self._check_vel(new, ovf)
             state = new
             done += self.fuse * update_freq
+            blocks += 1
+            if blocks in (1, 64) or blocks % 512 == 0:
+                state = self.maybe_shrink(state)
         while done < n_steps:
             k = min(update_freq, n_steps - done)
             state = self.refresh(state, params)

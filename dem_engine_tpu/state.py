@@ -156,13 +156,16 @@ class ContactTable:
     torque: jnp.ndarray    # f32[C,3] last torque-only force (global frame)
     cpoint: jnp.ndarray    # f32[C,3] last contact point rel owner A CoM
     wildcards: Dict[str, jnp.ndarray]  # each f32[C]
+    plan_a: jnp.ndarray    # i32[N*D] gather reduction plan (A side) or [0]
+    plan_b: jnp.ndarray    # i32[N*D] gather reduction plan (B side) or [0]
 
     @property
     def cap(self) -> int:
         return self.idA.shape[0]
 
     @staticmethod
-    def empty(cap: int, wildcard_names: Tuple[str, ...] = ()) -> "ContactTable":
+    def empty(cap: int, wildcard_names: Tuple[str, ...] = (),
+              plan_size: int = 0) -> "ContactTable":
         return ContactTable(
             idA=jnp.full((cap,), -1, I),
             idB=jnp.full((cap,), -1, I),
@@ -172,6 +175,26 @@ class ContactTable:
             torque=jnp.zeros((cap, 3), F),
             cpoint=jnp.zeros((cap, 3), F),
             wildcards={k: jnp.zeros((cap,), F) for k in wildcard_names},
+            plan_a=jnp.full((plan_size,), cap, I),
+            plan_b=jnp.full((plan_size,), cap, I),
+        )
+
+    def shrunk(self, new_cap: int) -> "ContactTable":
+        """Host-side capacity shrink. Safe because live entries are always
+        compacted to the front of the table."""
+        assert new_cap <= self.cap
+        sl = lambda x: x[:new_cap]
+        return ContactTable(
+            idA=sl(self.idA),
+            idB=sl(self.idB),
+            count=jnp.minimum(self.count, new_cap),
+            persist=sl(self.persist),
+            force=sl(self.force),
+            torque=sl(self.torque),
+            cpoint=sl(self.cpoint),
+            wildcards={k: sl(v) for k, v in self.wildcards.items()},
+            plan_a=self.plan_a,  # stale; rebuilt by the next refresh
+            plan_b=self.plan_b,
         )
 
     def grown(self, new_cap: int) -> "ContactTable":
@@ -193,6 +216,8 @@ class ContactTable:
             torque=padded(self.torque),
             cpoint=padded(self.cpoint),
             wildcards={k: padded(v) for k, v in self.wildcards.items()},
+            plan_a=self.plan_a,  # stale; rebuilt by the next refresh
+            plan_b=self.plan_b,
         )
 
 
@@ -205,6 +230,7 @@ OVF_BIN_OCC = 8
 OVF_ROW_CAP = 16
 OVF_TRI_BINS = 32
 OVF_VEL = 64        # max system velocity above error-out threshold
+OVF_PLAN = 128      # reduction-plan depth exceeded
 
 
 @pytree_dataclass
@@ -275,6 +301,7 @@ class SolverConfig:
     max_row_cand: int = 16              # per-sphere contact candidate cap
     max_tri_span: int = 4               # bins per axis a triangle may cover
     cd_chunk: int = 0                   # 0 = no chunking of the CD sweep
+    plan_d: int = 24                    # per-owner contact depth (gather plan)
     prescriptions: Tuple[Any, ...] = ()  # prescriptions.FamilyPrescription
     family_changes: Tuple[Any, ...] = ()
     use_persistency: bool = False
@@ -294,6 +321,7 @@ class SolverConfig:
                 self.max_row_cand,
                 self.max_tri_span,
                 self.cd_chunk,
+                self.plan_d,
                 tuple(id(p) for p in self.prescriptions),
                 tuple(id(c) for c in self.family_changes),
                 self.use_persistency,
