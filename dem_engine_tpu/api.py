@@ -1091,6 +1091,104 @@ class DEMSolver:
     def UpdateSimParams(self):
         self._rebuild_params()
 
+    def UpdateClumps(self):
+        """Insert batches staged with AddClumps() after Initialize() into the
+        running simulation (reference UpdateClumps, APIPublic.cpp:2347-2414).
+        Array shapes change, so the step functions recompile — same cost
+        profile as the reference's mid-sim insertion."""
+        assert self._initialized
+        pending = [b for b in self._batches if b.owner_offset is None]
+        if not pending:
+            return
+        model = self._force_model
+        st = self.state
+        n0 = int(st.owners.n)
+        s0 = int(st.spheres.n)
+        o_pos, o_quat, o_vel, o_omg = [], [], [], []
+        o_fam, o_mass, o_moi = [], [], []
+        s_owner, s_rel, s_rad, s_mat = [], [], [], []
+        oid = n0
+        for b in pending:
+            b.owner_offset = oid
+            b.sphere_offset = s0 + sum(len(x) for x in s_rad)
+            for ci in range(b.n):
+                t = b.templates[ci]
+                o_pos.append(np.asarray(b.xyz[ci]) - self._lbf)
+                o_quat.append(
+                    b.oriq[ci] if b.oriq is not None else [1, 0, 0, 0]
+                )
+                o_vel.append(b.vel[ci] if b.vel is not None else [0, 0, 0])
+                o_omg.append(
+                    b.ang_vel[ci] if b.ang_vel is not None else [0, 0, 0]
+                )
+                o_fam.append(
+                    int(b.families[ci]) if b.families is not None
+                    else DEFAULT_FAMILY
+                )
+                o_mass.append(t.mass)
+                o_moi.append(t.moi)
+                self._owner_template.append(t)
+                s_owner.append(np.full(t.n_comp, oid))
+                s_rel.append(np.asarray(t.relpos))
+                s_rad.append(np.asarray(t.radii))
+                mats = [
+                    (m.id if m is not None else 0) for m in t.materials
+                ] or [0] * t.n_comp
+                s_mat.append(np.asarray(mats))
+                oid += 1
+        new_owners = make_owners(
+            pos=np.asarray(o_pos), voxel_size=self._voxel_size,
+            quat=np.asarray(o_quat, np.float64),
+            vel=np.asarray(o_vel, np.float64),
+            omg=np.asarray(o_omg, np.float64),
+            family=np.asarray(o_fam), mass=np.asarray(o_mass),
+            moi=np.asarray(o_moi, np.float64),
+            wildcards={
+                k: np.zeros(oid - n0, np.float32)
+                for k in model.owner_wildcards
+            },
+        )
+        new_spheres = make_spheres(
+            owner=np.concatenate(s_owner),
+            relpos=np.concatenate(s_rel),
+            radius=np.concatenate(s_rad),
+            mat=np.concatenate(s_mat),
+            wildcards={
+                k: np.zeros(sum(len(x) for x in s_rad), np.float32)
+                for k in model.geo_wildcards
+            },
+        )
+        owners = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0),
+            st.owners, new_owners,
+        )
+        spheres = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0),
+            st.spheres, new_spheres,
+        )
+        self.state = st.replace(owners=owners, spheres=spheres)
+        # note: clump owners are no longer a contiguous prefix after mid-sim
+        # insertion of meshes/analyticals; track count for inspectors
+        self._n_clump_owners += oid - n0
+        self._owner_volume = np.concatenate(
+            [self._owner_volume, np.zeros(oid - n0)]
+        )
+        if self.engine.cfg.reduce_mode == "gather":
+            psz = int(owners.n) * self.engine.cfg.plan_d
+
+            def replan(t):
+                return t.replace(
+                    plan_a=jnp.full((psz,), t.cap, jnp.int32),
+                    plan_b=jnp.full((psz,), t.cap, jnp.int32),
+                )
+
+            self.state = self.state.replace(
+                ss=replan(self.state.ss),
+                st=replan(self.state.st),
+                sa=replan(self.state.sa),
+            )
+        self.engine._build()  # shapes changed; fresh jit caches
+
     # ------------------------------------------------------------------
     # queries (reference API.h:99-101, :251, :500-584)
     # ------------------------------------------------------------------

@@ -159,3 +159,20 @@ def test_family_change_when():
     # frozen shortly after crossing z=0.15
     p = solver.GetOwnerPosition()[0]
     assert 0.10 < p[2] < 0.151
+
+
+def test_update_clumps_midsim():
+    """Mid-simulation entity insertion (reference UpdateClumps)."""
+    solver, batch, pts = _build(n_side=2)
+    n0 = solver.GetNumClumps()
+    solver.DoDynamics(0.01)
+    tmpl = solver._templates[0]
+    b2 = solver.AddClumps(tmpl, np.asarray([[0.0, 0.0, -0.05]]))
+    solver.UpdateClumps()
+    assert solver.GetNumClumps() == n0 + 1
+    solver.DoDynamics(0.02)
+    pos = solver.GetOwnerPosition()
+    assert np.isfinite(pos).all()
+    # the inserted clump is falling
+    v_new = solver.GetOwnerVelocity()[b2.owner_offset]
+    assert v_new[2] < -0.05
