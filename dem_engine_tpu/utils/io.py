@@ -21,6 +21,27 @@ import numpy as np
 
 def write_csv(path, columns: Dict[str, np.ndarray]):
     keys = list(columns)
+    # fast native path when every column is numeric
+    if keys:
+        try:
+            cols64 = [
+                np.asarray(columns[k], np.float64).reshape(
+                    len(np.asarray(columns[keys[0]]).reshape(-1)), -1
+                )
+                for k in keys
+            ]
+            from ..core import write_csv_numeric
+
+            widths = [c.shape[1] for c in cols64]
+            header = ",".join(
+                k if w == 1 else ",".join(f"{k}_{i}" for i in range(w))
+                for k, w in zip(keys, widths)
+            )
+            data = np.concatenate(cols64, axis=1)
+            if write_csv_numeric(path, header, data):
+                return
+        except (ValueError, TypeError):
+            pass  # non-numeric columns: python writer below
     n = len(np.asarray(columns[keys[0]]).reshape(-1)) if keys else 0
     cols = {
         k: np.asarray(v).reshape(n, -1) if n else np.zeros((0, 1))

@@ -11,6 +11,11 @@ def load_obj(path):
     Polygon faces are fan-triangulated; v/vt/vn index forms and negative
     (relative) indices are supported.
     """
+    from ..core import load_obj as _native_obj
+
+    native = _native_obj(path)
+    if native is not None:
+        return native
     verts = []
     faces = []
     with open(path) as f:

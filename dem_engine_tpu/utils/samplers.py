@@ -103,6 +103,12 @@ class PDSampler(Sampler):
         self.k_tries = k_tries
 
     def _generate(self, lo, hi):
+        from ..core import pd_sample as _native_pd
+
+        native = _native_pd(lo, hi, self.separation, seed=self.seed,
+                            k_tries=self.k_tries)
+        if native is not None:
+            return native
         rng = np.random.default_rng(self.seed)
         r = self.separation
         dims = np.asarray(hi, np.float64) - np.asarray(lo, np.float64)
