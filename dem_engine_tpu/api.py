@@ -720,6 +720,72 @@ class DEMSolver:
             spheres=spheres.replace(wildcards=wc)
         )
 
+    def ChangeClumpSizes(self, owner_ids, factors):
+        """Scale the component spheres (radius + offsets) of the given clump
+        owners mid-sim (reference ChangeClumpSizes, API.h:1047,
+        markOwnerToChange/modifyComponents in DEMMiscKernels.cu)."""
+        assert self._initialized
+        owner_ids = np.asarray(owner_ids).reshape(-1)
+        factors = np.broadcast_to(
+            np.asarray(factors, np.float32), owner_ids.shape
+        )
+        spheres = self.state.spheres
+        fac_per_owner = (
+            jnp.ones((self.state.owners.n,), F)
+            .at[jnp.asarray(owner_ids)]
+            .set(jnp.asarray(factors))
+        )
+        f = fac_per_owner[spheres.owner]
+        self.state = self.state.replace(
+            spheres=spheres.replace(
+                radius=spheres.radius * f,
+                relpos=spheres.relpos * f[:, None],
+            )
+        )
+
+    def SetFamilyContactWildcardValue(self, family: int, name: str,
+                                      val: float):
+        """Set a contact wildcard on live contacts whose A-side family
+        matches (reference SetFamilyContactWildcardValue, API.h:930)."""
+        fam = self.state.owners.family
+        own = self.state.spheres.owner
+        for tname in ("ss", "st", "sa"):
+            table = getattr(self.state, tname)
+            if name not in table.wildcards:
+                continue
+            live = table.idA >= 0
+            fa = fam[own[jnp.where(live, table.idA, 0)]]
+            sel = live & (fa == family)
+            wc = dict(table.wildcards)
+            wc[name] = jnp.where(sel, val, wc[name])
+            self.state = self.state.replace(
+                **{tname: table.replace(wildcards=wc)}
+            )
+
+    # ------------------------------------------------------------------
+    # exact binary checkpointing (beyond the reference's CSV round-trip)
+    # ------------------------------------------------------------------
+    def SaveCheckpoint(self, path: str):
+        """Bit-exact state snapshot (npz): owners, geometry, contact tables
+        incl. wildcards and persistency, sim clock."""
+        flat, treedef = jax.tree_util.tree_flatten(self.state)
+        np.savez_compressed(
+            path,
+            *[np.asarray(x) for x in flat],
+            __time=float(self.state.time),
+        )
+
+    def LoadCheckpoint(self, path: str):
+        """Restore a SaveCheckpoint snapshot into this (initialized,
+        identically-configured) solver."""
+        assert self._initialized
+        data = np.load(path)
+        flat, treedef = jax.tree_util.tree_flatten(self.state)
+        arrays = [data[f"arr_{i}"] for i in range(len(flat))]
+        self.state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(a) for a in arrays]
+        )
+
     def MarkFamilyPersistentContact(self, family: Optional[int] = None):
         """Contacts involving `family` (all families if None) stay in the
         table with their wildcards even when no longer detected — the
