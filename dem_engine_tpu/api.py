@@ -1008,6 +1008,9 @@ class DEMSolver:
         cap_ss = max(128, int(5 * n_spheres))
         cap_st = max(64, 4 * tris.n) if tris.n else 8
         cap_sa = max(64, n_spheres) if anals.n else 8
+        # gather-plan reduction wins on TPU (scatter-add is slow there);
+        # scatter wins on CPU where the tests run
+        platform = jax.devices()[0].platform
         cfg = SolverConfig(
             voxel_size=self._voxel_size,
             integrator=self._integrator,
@@ -1018,6 +1021,7 @@ class DEMSolver:
             prescriptions=tuple(self._prescriptions.values()),
             family_changes=tuple(self._family_changes),
             use_persistency=self._use_persistency,
+            reduce_mode="scatter" if platform == "cpu" else "gather",
         )
         self.state = make_state(owners, spheres, cfg, tris=tris, anals=anals)
         self._seed_existing_contacts(cfg)

@@ -159,7 +159,7 @@ def find_pairs_ss(pos, reach, owner, family, family_mask, bin_size, nb,
     """
     S = pos.shape[0]
     if chunk <= 0:
-        chunk = min(max(S, 1), 16384)
+        chunk = min(max(S, 1), 65536)
     n_chunks = -(-S // chunk)
     spad = n_chunks * chunk
 

@@ -296,7 +296,7 @@ class SolverConfig:
     cap_ss: int = 64
     cap_st: int = 16
     cap_sa: int = 16
-    max_per_bin: int = 32               # bin occupancy cap (spheres)
+    max_per_bin: int = 16               # bin occupancy cap (spheres)
     max_tri_per_bin: int = 32
     max_row_cand: int = 16              # per-sphere contact candidate cap
     max_tri_span: int = 4               # bins per axis a triangle may cover
@@ -305,7 +305,7 @@ class SolverConfig:
     prescriptions: Tuple[Any, ...] = ()  # prescriptions.FamilyPrescription
     family_changes: Tuple[Any, ...] = ()
     use_persistency: bool = False
-    reduce_mode: str = "scatter"        # owner wrench reduction strategy
+    reduce_mode: str = "scatter"        # owner wrench reduction: "scatter" | "gather" (gather wins on TPU)
 
     def __hash__(self):
         return hash(
