@@ -823,27 +823,6 @@ class DEMSolver:
         if self._bounding_bc in ("all", "top_open"):
             self._add_bounding_planes()
 
-        # materials -> tables
-        mat_names = set(model.per_material_props)
-        pair_names = set(model.pairwise_props)
-        M = max(len(self._materials), 1)
-        mat_props = {}
-        for name in mat_names:
-            tab = np.zeros(M, np.float32)
-            for i, m in enumerate(self._materials):
-                tab[i] = m.props.get(name, 0.0)
-            mat_props[name] = tab
-        pair_props = {}
-        for name in pair_names:
-            base = np.zeros(M, np.float32)
-            for i, m in enumerate(self._materials):
-                base[i] = m.props.get(name, 0.0)
-            tab = 0.5 * (base[:, None] + base[None, :])
-            for (pname, ia, ib), v in self._pair_overrides.items():
-                if pname == name:
-                    tab[ia, ib] = v
-            pair_props[name] = tab
-
         # owners: clumps, then analytical objects, then meshes
         o_pos, o_quat, o_vel, o_omg = [], [], [], []
         o_fam, o_mass, o_moi = [], [], []

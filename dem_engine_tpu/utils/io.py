@@ -58,9 +58,8 @@ def write_csv(path, columns: Dict[str, np.ndarray]):
             row = []
             for k in keys:
                 for x in cols[k][i]:
-                    row.append(
-                        repr(x.item()) if hasattr(x, "item") else str(x)
-                    )
+                    v = x.item() if hasattr(x, "item") else x
+                    row.append(repr(v) if isinstance(v, float) else str(v))
             w.writerow(row)
 
 

@@ -71,3 +71,27 @@ def test_game_of_life_generations():
     assert len(set(counts + [int((fam0 == ALIVE).sum())])) > 1
     # and stays within the board
     assert all(0 <= c <= 12 * 12 for c in counts)
+
+
+def test_grc_prep_and_restore(tmp_path):
+    import os
+
+    from grc_prep import build, restore
+
+    solver, batch, tmpls = build(n_clumps=60, verbosity="QUIET")
+    solver.DoDynamics(0.06)
+    ck = os.path.join(tmp_path, "terrain.csv")
+    solver.WriteClumpFile(ck)
+    max_z0 = solver.CreateInspector("clump_max_z").GetValue()
+
+    s2 = restore(ck, verbosity="QUIET")
+    assert s2.GetNumClumps() == solver.GetNumClumps()
+    # polydispersity survived the roundtrip: same multiset of radii
+    r1 = np.sort(np.asarray(solver.state.spheres.radius))
+    r2 = np.sort(np.asarray(s2.state.spheres.radius))
+    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+    s2.DoDynamics(0.02)
+    p = s2.GetOwnerPosition()[: s2.GetNumClumps()]
+    assert np.isfinite(p).all()
+    max_z1 = s2.CreateInspector("clump_max_z").GetValue()
+    assert abs(max_z1 - max_z0) < 0.02
