@@ -308,6 +308,7 @@ class DEMSolver:
         self._expand_adder = defines.DEFAULT_EXPAND_SAFETY_ADDER
         self._approx_max_vel = defines.HUGE_FLOAT
         self._error_out_vel = defines.DEFAULT_ERROR_OUT_VEL
+        self._error_out_avg_contacts = 100.0
         self._verbosity = Verbosity.INFO
         # staging
         self._materials: List[DEMMaterial] = []
@@ -410,6 +411,44 @@ class DEMSolver:
         self._error_out_vel = float(v)
         if self._initialized:
             self._rebuild_params()
+
+    def SetErrorOutAvgContacts(self, n: float):
+        """Error out when avg contacts/sphere exceeds n (reference
+        API.h:247)."""
+        self._error_out_avg_contacts = float(n)
+        if self._initialized:
+            self._rebuild_params()
+
+    def SetMaxSphereInBin(self, n: int):
+        """Initial per-bin occupancy capacity (auto-grows on overflow;
+        reference API.h:232)."""
+        self._init_max_per_bin = int(n)
+
+    def SetMaxTriangleInBin(self, n: int):
+        self._init_max_tri_span = max(2, int(n) // 8)
+
+    # Bin sizing is automatic here (bin = 2*max reach, recomputed every
+    # refresh with no recompilation); these exist for source compatibility.
+    def SetInitBinSize(self, s):
+        pass
+
+    def SetBinSize(self, s):
+        pass
+
+    def SetInitBinNumTarget(self, n):
+        pass
+
+    def UseAdaptiveBinSize(self, flag: bool = True):
+        pass
+
+    def SetAdaptiveBinSizeDelaySteps(self, n):
+        pass
+
+    def SetJitifyClumpTemplates(self, flag: bool = True):
+        pass  # templates are always flattened arrays here
+
+    def SetJitifyMassProperties(self, flag: bool = True):
+        pass
 
     def SetSortContactPairs(self, flag: bool):
         pass  # tables are always canonically ordered here
@@ -786,6 +825,23 @@ class DEMSolver:
             treedef, [jnp.asarray(a) for a in arrays]
         )
 
+    def GetOwnerWildcardValue(self, name: str, ids=None):
+        wc = np.asarray(self.state.owners.wildcards[name])
+        return wc if ids is None else wc[np.asarray(ids)]
+
+    def GetGeometryWildcardValue(self, name: str, ids=None):
+        wc = np.asarray(self.state.spheres.wildcards[name])
+        return wc if ids is None else wc[np.asarray(ids)]
+
+    def GetAllContactWildcardValue(self, name: str):
+        out = []
+        for tname in ("ss", "st", "sa"):
+            t = getattr(self.state, tname)
+            if name in t.wildcards:
+                n = int(t.count)
+                out.append(np.asarray(t.wildcards[name][:n]))
+        return np.concatenate(out) if out else np.zeros(0, np.float32)
+
     def MarkFamilyPersistentContact(self, family: Optional[int] = None):
         """Contacts involving `family` (all families if None) stay in the
         table with their wildcards even when no longer detected — the
@@ -1087,6 +1143,7 @@ class DEMSolver:
             expand_safety_adder=self._expand_adder,
             approx_max_vel=self._approx_max_vel,
             error_out_vel=self._error_out_vel,
+            error_out_avg_contacts=self._error_out_avg_contacts,
             family_mask=self._family_mask,
             family_persist=self._family_persist,
             family_extra_margin=self._family_extra_margin,

@@ -159,6 +159,7 @@ def make_params(
     expand_safety_adder: float = 0.0,
     approx_max_vel: float = 1e30,
     error_out_vel: float = 5e4,
+    error_out_avg_contacts: float = 100.0,
     family_mask: Optional[np.ndarray] = None,
     family_persist: Optional[np.ndarray] = None,
     family_extra_margin: Optional[np.ndarray] = None,
@@ -177,6 +178,7 @@ def make_params(
         expand_safety_adder=_f(expand_safety_adder),
         approx_max_vel=_f(approx_max_vel),
         error_out_vel=_f(error_out_vel),
+        error_out_avg_contacts=_f(error_out_avg_contacts),
         max_drift=_i(update_freq),
         family_mask=jnp.asarray(family_mask),
         family_persist=jnp.asarray(family_persist),

@@ -29,6 +29,7 @@ from .defines import F, HUGE_FLOAT, I, TimeIntegrator
 from .models.prescriptions import PrescriptionTables
 from .ops import binning, forces, history, integrator, quat, voxel
 from .state import (
+    OVF_AVG_CONTACTS,
     OVF_BIN_OCC,
     OVF_PLAN,
     OVF_SA_CAP,
@@ -236,6 +237,12 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         sa = state.sa
 
     overflow |= jnp.where(max_vel > params.error_out_vel, OVF_VEL, 0)
+    # sanity check mirroring the reference's avg-contacts-per-sphere
+    # error-out (DEMCubContactDetection.cu:882-892)
+    avg_cnt = 2.0 * ss.count.astype(F) / jnp.maximum(spheres.n, 1)
+    overflow |= jnp.where(
+        avg_cnt > params.error_out_avg_contacts, OVF_AVG_CONTACTS, 0
+    )
     return state.replace(
         ss=ss, st=st, sa=sa, overflow=overflow, max_vel=max_vel
     )
@@ -475,12 +482,7 @@ class Engine:
             new_state = self._get_refresh(state, params)(state, params)
             ovf = int(new_state.overflow)
             if not (ovf & _CAP_OVF):
-                if ovf & OVF_VEL:
-                    raise RuntimeError(
-                        "Simulation diverged: max system velocity "
-                        f"{float(new_state.max_vel):.3g} exceeds the "
-                        "error-out threshold (SetErrorOutVelocity)."
-                    )
+                self._check_vel(new_state, ovf)
                 return new_state
             state = self.grow_for(state, ovf)
         raise RuntimeError("contact capacity growth did not converge")
@@ -523,4 +525,10 @@ class Engine:
                 "Simulation diverged: max system velocity "
                 f"{float(state.max_vel):.3g} exceeds the error-out "
                 "threshold (SetErrorOutVelocity)."
+            )
+        if ovf & OVF_AVG_CONTACTS:
+            raise RuntimeError(
+                "Too many contacts per sphere — the simulation likely "
+                "diverged or the force model cannot hold the packing "
+                "(SetErrorOutAvgContacts)."
             )

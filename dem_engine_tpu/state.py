@@ -231,6 +231,7 @@ OVF_ROW_CAP = 16
 OVF_TRI_BINS = 32
 OVF_VEL = 64        # max system velocity above error-out threshold
 OVF_PLAN = 128      # reduction-plan depth exceeded
+OVF_AVG_CONTACTS = 256  # avg contacts/sphere above error-out threshold
 
 
 @pytree_dataclass
@@ -267,6 +268,7 @@ class RuntimeParams:
     expand_safety_adder: jnp.ndarray  # f32[]
     approx_max_vel: jnp.ndarray    # f32[] velocity cap used in margins
     error_out_vel: jnp.ndarray     # f32[]
+    error_out_avg_contacts: jnp.ndarray  # f32[]
     max_drift: jnp.ndarray         # i32[] steps the contact table stays live
     family_mask: jnp.ndarray       # bool[256,256] True => contact enabled
     family_persist: jnp.ndarray    # bool[256,256] True => mark persistent
