@@ -153,6 +153,75 @@ def pack_sphere_records(spheres: Spheres):
     )
 
 
+# ---------------------------------------------------------------------------
+# per-contact static denormalization (built once per CD refresh): the step
+# loop then touches only the contact table (contiguous) plus TWO owner-record
+# row-gathers per contact. Layout (f32, ints exact < 2^24), width 20:
+#   [0] ownerA  [1] ownerB  [2:5] relposA  [5] radA  [6] matA  [7] matB
+#   ss: [8:11] relposB [11] radB
+#   st: [8:17] triangle nodes (body frame)
+#   sa: [8] objtype [9:12] relpos [12:15] direction [15] size1 [16] sign
+# ---------------------------------------------------------------------------
+
+STATIC_W = 20
+
+
+def build_static_rec(kind, table, spheres: Spheres, tris: Triangles,
+                     anals: Analyticals):
+    live = table.idA >= 0
+    iA = jnp.where(live, table.idA, 0)
+    iB = jnp.where(live, table.idB, 0)
+    cap = table.cap
+    own_a = jnp.where(live, spheres.owner[iA], -1)
+    cols = [
+        own_a.astype(F)[:, None],
+        None,  # ownerB below
+        spheres.relpos[iA],
+        spheres.radius[iA][:, None],
+        spheres.mat[iA].astype(F)[:, None],
+        None,  # matB below
+    ]
+    if kind == "ss":
+        own_b = jnp.where(live, spheres.owner[iB], -1)
+        mat_b = spheres.mat[iB]
+        rest = jnp.concatenate(
+            [
+                spheres.relpos[iB],
+                spheres.radius[iB][:, None],
+                jnp.zeros((cap, STATIC_W - 12), F),
+            ],
+            axis=1,
+        )
+    elif kind == "st":
+        own_b = jnp.where(live, tris.owner[iB], -1)
+        mat_b = tris.mat[iB]
+        rest = jnp.concatenate(
+            [
+                tris.nodes[iB].reshape(cap, 9),
+                jnp.zeros((cap, STATIC_W - 17), F),
+            ],
+            axis=1,
+        )
+    else:  # sa
+        own_b = jnp.where(live, anals.owner[iB], -1)
+        mat_b = anals.mat[iB]
+        rest = jnp.concatenate(
+            [
+                anals.objtype[iB].astype(F)[:, None],
+                anals.relpos[iB],
+                anals.direction[iB],
+                anals.size[iB][:, 0:1],
+                anals.normal_sign[iB][:, None],
+                jnp.zeros((cap, STATIC_W - 17), F),
+            ],
+            axis=1,
+        )
+    cols[1] = own_b.astype(F)[:, None]
+    cols[5] = mat_b.astype(F)[:, None]
+    rec = jnp.concatenate(cols + [rest], axis=1)
+    return table.replace(static_rec=jnp.where(live[:, None], rec, 0.0))
+
+
 def contact_pass(
     kind: str,
     table: ContactTable,
@@ -167,63 +236,55 @@ def contact_pass(
     owner_rec=None,
     sph_rec=None,
 ):
-    """Evaluate one contact class. Returns per-contact arrays:
-    (ownerA, ownerB, F, F_tq, cp_a, cp_b, quatA, quatB, new_table)."""
+    """Evaluate one contact class. The contact table's denormalized
+    static_rec supplies all per-contact constants (contiguous reads); only
+    the two owner kinematic records are gathered per contact."""
     live = table.idA >= 0
     iA = jnp.where(live, table.idA, 0)
     iB = jnp.where(live, table.idB, 0)
     if owner_rec is None:
         owner_rec = pack_owner_records(owners)
-    if sph_rec is None:
-        sph_rec = pack_sphere_records(spheres)
 
-    ra = sph_rec[iA]
-    own_a = ra[:, 0].astype(I)
+    srec = table.static_rec
+    own_a = jnp.where(live, srec[:, 0].astype(I), 0)
+    own_b = jnp.where(live, srec[:, 1].astype(I), 0)
     A = _gather_owner(owners, own_a, owner_rec)
     A["owner_id"] = own_a
-    rel_a = quat.rotate(A["quat"], ra[:, 1:4])
-    rad_a = ra[:, 4]
-    mat_a = ra[:, 5].astype(I)
+    B = _gather_owner(owners, own_b, owner_rec)
+    B["owner_id"] = own_b
+    rel_a = quat.rotate(A["quat"], srec[:, 2:5])
+    rad_a = srec[:, 5]
+    mat_a = srec[:, 6].astype(I)
+    mat_b = srec[:, 7].astype(I)
     geo_wc_a = {k: v[iA] for k, v in spheres.wildcards.items()}
+    d = rel_pos(B["vox"], B["loc"], A["vox"], A["loc"], voxel_size)
 
     if kind == "ss":
-        rb = sph_rec[iB]
-        own_b = rb[:, 0].astype(I)
-        B = _gather_owner(owners, own_b, owner_rec)
-        B["owner_id"] = own_b
-        d = rel_pos(B["vox"], B["loc"], A["vox"], A["loc"], voxel_size)
-        pos_b = d + quat.rotate(B["quat"], rb[:, 1:4])
-        rad_b = rb[:, 4]
-        mat_b = rb[:, 5].astype(I)
+        pos_b = d + quat.rotate(B["quat"], srec[:, 8:11])
+        rad_b = srec[:, 11]
         geo_wc_b = {k: v[iB] for k, v in spheres.wildcards.items()}
         overlap, b2a, cp = narrowphase.sphere_sphere(rel_a, rad_a, pos_b, rad_b)
         ctype = SPHERE_SPHERE_CONTACT
     elif kind == "st":
-        own_b = tris.owner[iB]
-        B = _gather_owner(owners, own_b, owner_rec)
-        B["owner_id"] = own_b
-        d = rel_pos(B["vox"], B["loc"], A["vox"], A["loc"], voxel_size)
-        nodes = quat.rotate(B["quat"][:, None, :], tris.nodes[iB]) + d[:, None, :]
+        nodes_l = srec[:, 8:17].reshape(-1, 3, 3)
+        nodes = quat.rotate(B["quat"][:, None, :], nodes_l) + d[:, None, :]
         overlap, b2a, cp = narrowphase.sphere_triangle(
             rel_a, rad_a, nodes[:, 0], nodes[:, 1], nodes[:, 2]
         )
         rad_b = jnp.full(rad_a.shape, HUGE_FLOAT, F)
-        mat_b = tris.mat[iB]
         geo_wc_b = {k: v[iB] for k, v in tris.wildcards.items()}
         ctype = SPHERE_MESH_CONTACT
     elif kind == "sa":
-        own_b = anals.owner[iB]
-        B = _gather_owner(owners, own_b, owner_rec)
-        B["owner_id"] = own_b
-        d = rel_pos(B["vox"], B["loc"], A["vox"], A["loc"], voxel_size)
-        obj_pos = d + quat.rotate(B["quat"], anals.relpos[iB])
-        obj_dir = quat.rotate(B["quat"], anals.direction[iB])
+        obj_pos = d + quat.rotate(B["quat"], srec[:, 9:12])
+        obj_dir = quat.rotate(B["quat"], srec[:, 12:15])
         overlap, b2a, cp = narrowphase.sphere_analytical(
-            rel_a, rad_a, anals.objtype[iB], obj_pos, obj_dir,
-            anals.size[iB], anals.normal_sign[iB],
+            rel_a, rad_a, srec[:, 8].astype(I), obj_pos, obj_dir,
+            jnp.concatenate(
+                [srec[:, 15:16], jnp.zeros((srec.shape[0], 2), F)], axis=1
+            ),
+            srec[:, 16],
         )
         rad_b = jnp.full(rad_a.shape, HUGE_FLOAT, F)
-        mat_b = anals.mat[iB]
         geo_wc_b = {k: v[iB] for k, v in anals.wildcards.items()}
         ctype = SPHERE_ANALYTICAL_CONTACT
     else:  # pragma: no cover

@@ -128,4 +128,5 @@ def carry_history(
         wildcards=wildcards,
         plan_a=old.plan_a,  # stale; the caller rebuilds plans post-carry
         plan_b=old.plan_b,
+        static_rec=old.static_rec,  # stale; rebuilt by the caller
     )

@@ -157,6 +157,7 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             ss, spheres.owner, spheres.owner, owners.n, cfg.plan_d
         )
         overflow |= povf
+    ss = forces.build_static_rec("ss", ss, spheres, tris, anals)
     overflow |= jnp.where(ss.count > cfg.cap_ss, OVF_SS_CAP, 0)
     ss = ss.replace(count=jnp.minimum(ss.count, cfg.cap_ss))
     overflow |= jnp.where(max_occ > cfg.max_per_bin, OVF_BIN_OCC, 0)
@@ -189,6 +190,7 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
                 st, spheres.owner, tris.owner, owners.n, cfg.plan_d
             )
             overflow |= povf
+        st = forces.build_static_rec("st", st, spheres, tris, anals)
         overflow |= jnp.where(n_st > cfg.cap_st, OVF_ST_CAP, 0)
         overflow |= jnp.where(st.count > cfg.cap_st, OVF_ST_CAP, 0)
         st = st.replace(count=jnp.minimum(st.count, cfg.cap_st))
@@ -230,6 +232,7 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
                 sa, spheres.owner, anals.owner, owners.n, cfg.plan_d
             )
             overflow |= povf
+        sa = forces.build_static_rec("sa", sa, spheres, tris, anals)
         overflow |= jnp.where(n_sa > cfg.cap_sa, OVF_SA_CAP, 0)
         overflow |= jnp.where(sa.count > cfg.cap_sa, OVF_SA_CAP, 0)
         sa = sa.replace(count=jnp.minimum(sa.count, cfg.cap_sa))
@@ -267,13 +270,12 @@ def dynamics_step(state: SimState, params: RuntimeParams,
         if n_geo == 0 or table.cap == 0 or state.spheres.n == 0:
             new_tables[kind] = table
             continue
-        if not passes:  # pack shared gather records once per step
+        if not passes:  # pack the shared owner records once per step
             owner_rec = forces.pack_owner_records(owners)
-            sph_rec = forces.pack_sphere_records(state.spheres)
         p = forces.contact_pass(
             kind, table, owners, state.spheres, state.tris, state.anals,
             params, state.time, cfg.voxel_size, model,
-            owner_rec=owner_rec, sph_rec=sph_rec,
+            owner_rec=owner_rec,
         )
         passes.append(p)
         new_tables[kind] = p["table"]

@@ -158,6 +158,7 @@ class ContactTable:
     wildcards: Dict[str, jnp.ndarray]  # each f32[C]
     plan_a: jnp.ndarray    # i32[N*D] gather reduction plan (A side) or [0]
     plan_b: jnp.ndarray    # i32[N*D] gather reduction plan (B side) or [0]
+    static_rec: jnp.ndarray  # f32[C,20] denormalized per-contact statics
 
     @property
     def cap(self) -> int:
@@ -177,6 +178,7 @@ class ContactTable:
             wildcards={k: jnp.zeros((cap,), F) for k in wildcard_names},
             plan_a=jnp.full((plan_size,), cap, I),
             plan_b=jnp.full((plan_size,), cap, I),
+            static_rec=jnp.zeros((cap, 20), F),
         )
 
     def shrunk(self, new_cap: int) -> "ContactTable":
@@ -195,6 +197,7 @@ class ContactTable:
             wildcards={k: sl(v) for k, v in self.wildcards.items()},
             plan_a=self.plan_a,  # stale; rebuilt by the next refresh
             plan_b=self.plan_b,
+            static_rec=sl(self.static_rec),
         )
 
     def grown(self, new_cap: int) -> "ContactTable":
@@ -218,6 +221,7 @@ class ContactTable:
             wildcards={k: padded(v) for k, v in self.wildcards.items()},
             plan_a=self.plan_a,  # stale; rebuilt by the next refresh
             plan_b=self.plan_b,
+            static_rec=padded(self.static_rec),
         )
 
 
