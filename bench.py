@@ -26,6 +26,10 @@ def main():
 
     import jax
 
+    from dem_engine_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
     n = args.n or (131072 if on_tpu else 2048)

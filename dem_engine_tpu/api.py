@@ -1284,8 +1284,7 @@ class DEMSolver:
 
             def replan(t):
                 return t.replace(
-                    plan_a=jnp.full((psz,), t.cap, jnp.int32),
-                    plan_b=jnp.full((psz,), t.cap, jnp.int32),
+                    plan_a=jnp.full((psz,), 2 * t.cap, jnp.int32),
                 )
 
             self.state = self.state.replace(

@@ -189,10 +189,10 @@ def find_pairs_ss(pos, reach, owner, family, family_mask, bin_size, nb,
         tgt = jnp.where(ok3, flat_bin(tgt3, nb), -2)           # (ch,14)
 
         starts = jnp.searchsorted(tab.sorted_bin, tgt)         # (ch,14)
+        ends = jnp.searchsorted(tab.sorted_bin, tgt, side="right")
         slots = starts[..., None] + jnp.arange(mpb, dtype=I)   # (ch,14,mpb)
         slots_c = jnp.minimum(slots, spad - 1)
-        cand_bin = tab.sorted_bin[slots_c]
-        valid = (cand_bin == tgt[..., None]) & (slots < spad)
+        valid = (slots < ends[..., None]) & (slots < spad)
         same_bin = (jnp.arange(14) == 0)[None, :, None]
         valid &= jnp.where(same_bin, slots > kk[:, None, None], True)
         valid &= row_ok[:, None, None]
@@ -265,10 +265,10 @@ def find_pairs_st(aabb_min, aabb_max, tri_owner, tri_family, tab: SphereBinTable
     tgt = jnp.where(okk, flat_bin(tgt3, nb), -2)
 
     starts = jnp.searchsorted(tab.sorted_bin, tgt)             # (T,sp3)
+    ends = jnp.searchsorted(tab.sorted_bin, tgt, side="right")
     slots = starts[..., None] + jnp.arange(mpb, dtype=I)       # (T,sp3,mpb)
     slots_c = jnp.minimum(slots, spad - 1)
-    cand_bin = tab.sorted_bin[slots_c]
-    valid = (cand_bin == tgt[..., None]) & (slots < spad)
+    valid = (slots < ends[..., None]) & (slots < spad)
 
     crec = tab.rec[slots_c]
     cpos = crec[..., 0:3]

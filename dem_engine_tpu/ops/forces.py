@@ -344,20 +344,28 @@ def reduce_wrench(n_owners: int, passes) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return acc[:, :3], acc[:, 3:]
 
 
-def build_reduction_plan(owner_ids, n_owners: int, depth: int):
-    """Per-owner gather plan: plan[(owner, d)] = contact slot of the d-th
-    contact this owner participates in (== cap for none).
+def build_reduction_plan(owner_a_ids, owner_b_ids, n_owners: int,
+                         depth: int):
+    """Combined per-owner gather plan over BOTH contact sides:
+    plan[(owner, d)] indexes into concat(rec_a, rec_b) — entries < cap are
+    A-side slots, entries in [cap, 2cap) are B-side, == 2cap means none.
 
-    Built once per CD refresh; per step the wrench reduction becomes D wide
-    row-gathers + a dense sum — no scatter in the hot loop. This is the TPU
-    answer to DEME's sort+reduce-by-key force collection
+    Built once per CD refresh with ONE sort; per step the wrench reduction
+    becomes D wide row-gathers + a dense sum — no scatter in the hot loop.
+    This is the TPU answer to DEME's sort+reduce-by-key force collection
     (DEMCubForceCollection.cu:19, incl. its owner-index caching :45-64).
     Returns (plan i32[n_owners*depth], overflow bool).
     """
-    cap = owner_ids.shape[0]
-    own = jnp.where(owner_ids >= 0, owner_ids, n_owners)
-    so, slot = jax.lax.sort((own, jnp.arange(cap, dtype=I)), num_keys=1)
-    k = jnp.arange(cap, dtype=I)
+    cap = owner_a_ids.shape[0]
+    own = jnp.concatenate(
+        [
+            jnp.where(owner_a_ids >= 0, owner_a_ids, n_owners),
+            jnp.where(owner_b_ids >= 0, owner_b_ids, n_owners),
+        ]
+    )
+    n2 = 2 * cap
+    so, slot = jax.lax.sort((own, jnp.arange(n2, dtype=I)), num_keys=1)
+    k = jnp.arange(n2, dtype=I)
     boundary = jnp.concatenate(
         [jnp.ones((1,), bool), so[1:] != so[:-1]]
     )
@@ -365,7 +373,7 @@ def build_reduction_plan(owner_ids, n_owners: int, depth: int):
     rank = k - run_start
     ok = (so < n_owners) & (rank < depth)
     dest = jnp.where(ok, so * depth + rank, n_owners * depth)
-    plan = jnp.full((n_owners * depth,), cap, I).at[dest].set(
+    plan = jnp.full((n_owners * depth,), n2, I).at[dest].set(
         slot, mode="drop", unique_indices=True
     )
     overflow = jnp.any((so < n_owners) & (rank >= depth))
@@ -377,9 +385,9 @@ def reduce_wrench_gather(n_owners: int, passes, depth: int):
     acc = jnp.zeros((n_owners, 6), F)
     for p in passes:
         table = p["table"]
-        for rec, plan in ((p["rec_a"], table.plan_a),
-                          (p["rec_b"], table.plan_b)):
-            padded = jnp.concatenate([rec, jnp.zeros((1, 6), F)], axis=0)
-            idx = plan.reshape(n_owners, depth)
-            acc = acc + padded[idx].sum(axis=1)
+        padded = jnp.concatenate(
+            [p["rec_a"], p["rec_b"], jnp.zeros((1, 6), F)], axis=0
+        )
+        idx = table.plan_a.reshape(n_owners, depth)
+        acc = acc + padded[idx].sum(axis=1)
     return acc[:, :3], acc[:, 3:]

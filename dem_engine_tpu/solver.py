@@ -102,14 +102,13 @@ def tri_world_nodes(owners, tris, voxel_size):
 
 
 def _with_plans(table, owner_src_a, owner_src_b, n_owners, depth):
-    """Attach gather-reduction plans to a freshly built table."""
+    """Attach the combined gather-reduction plan to a freshly built table."""
     live = table.idA >= 0
     oa = jnp.where(live, owner_src_a[jnp.where(live, table.idA, 0)], -1)
     ob = jnp.where(live, owner_src_b[jnp.where(live, table.idB, 0)], -1)
-    plan_a, ovf_a = forces.build_reduction_plan(oa, n_owners, depth)
-    plan_b, ovf_b = forces.build_reduction_plan(ob, n_owners, depth)
-    ovf = jnp.where(ovf_a | ovf_b, OVF_PLAN, 0).astype(I)
-    return table.replace(plan_a=plan_a, plan_b=plan_b), ovf
+    plan, ovf_p = forces.build_reduction_plan(oa, ob, n_owners, depth)
+    ovf = jnp.where(ovf_p, OVF_PLAN, 0).astype(I)
+    return table.replace(plan_a=plan), ovf
 
 
 def _mark_persistent(table, famA_src, famB_src, params):
@@ -445,8 +444,7 @@ class Engine:
 
             def replan(t):
                 return t.replace(
-                    plan_a=jnp.full((psz,), t.cap, I),
-                    plan_b=jnp.full((psz,), t.cap, I),
+                    plan_a=jnp.full((psz,), 2 * t.cap, I),
                 )
 
             state = state.replace(

@@ -156,8 +156,8 @@ class ContactTable:
     torque: jnp.ndarray    # f32[C,3] last torque-only force (global frame)
     cpoint: jnp.ndarray    # f32[C,3] last contact point rel owner A CoM
     wildcards: Dict[str, jnp.ndarray]  # each f32[C]
-    plan_a: jnp.ndarray    # i32[N*D] gather reduction plan (A side) or [0]
-    plan_b: jnp.ndarray    # i32[N*D] gather reduction plan (B side) or [0]
+    plan_a: jnp.ndarray    # i32[N*D] combined gather reduction plan or [0]
+    plan_b: jnp.ndarray    # reserved (empty)
     static_rec: jnp.ndarray  # f32[C,20] denormalized per-contact statics
 
     @property
@@ -176,8 +176,8 @@ class ContactTable:
             torque=jnp.zeros((cap, 3), F),
             cpoint=jnp.zeros((cap, 3), F),
             wildcards={k: jnp.zeros((cap,), F) for k in wildcard_names},
-            plan_a=jnp.full((plan_size,), cap, I),
-            plan_b=jnp.full((plan_size,), cap, I),
+            plan_a=jnp.full((plan_size,), 2 * cap, I),
+            plan_b=jnp.zeros((0,), I),
             static_rec=jnp.zeros((cap, 20), F),
         )
 
@@ -307,7 +307,7 @@ class SolverConfig:
     max_row_cand: int = 16              # per-sphere contact candidate cap
     max_tri_span: int = 4               # bins per axis a triangle may cover
     cd_chunk: int = 0                   # 0 = no chunking of the CD sweep
-    plan_d: int = 24                    # per-owner contact depth (gather plan)
+    plan_d: int = 32                    # per-owner contact depth (gather plan)
     prescriptions: Tuple[Any, ...] = ()  # prescriptions.FamilyPrescription
     family_changes: Tuple[Any, ...] = ()
     use_persistency: bool = False

@@ -161,3 +161,44 @@ def test_plane_bounce_restitution():
     # energy right after leaving the plane: 0.5 v_b^2 = 0.5 v_end^2 + g dz
     v_bounce = np.sqrt(v[0, 2] ** 2 + 2 * 9.81 * (z_end - (z_plane + R)))
     np.testing.assert_allclose(v_bounce, cor * v_impact, rtol=0.1)
+
+
+def test_head_on_restitution_gather_reduce():
+    """Same golden test through the gather-plan reduction path."""
+    cor = 0.8
+    from dem_engine_tpu.state import SolverConfig
+
+    model = HertzianForceModel()
+    cfg = SolverConfig(
+        voxel_size=1.0 / 2**16,
+        integrator=TimeIntegrator.CENTERED_DIFFERENCE,
+        force_model=model,
+        cap_ss=16, cap_sa=8, cap_st=8,
+        reduce_mode="gather", plan_d=8,
+    )
+    mass = RHO * 4 / 3 * np.pi * R**3
+    moi = 2 / 5 * mass * R**2
+    gap = 2.5 * R
+    owners = make_owners(
+        pos=np.asarray([[0.5 - gap / 2, 0.5, 0.5], [0.5 + gap / 2, 0.5, 0.5]]),
+        voxel_size=cfg.voxel_size,
+        vel=np.asarray([[1.0, 0, 0], [-1.0, 0, 0]]),
+        mass=np.full(2, mass), moi=np.full((2, 3), moi),
+    )
+    spheres = make_spheres(owner=[0, 1], relpos=np.zeros((2, 3)),
+                           radius=np.full(2, R))
+    state = make_state(owners, spheres, cfg)
+    mats = {"E": np.asarray([1e9], np.float32),
+            "nu": np.asarray([NU], np.float32)}
+    pairs = {"CoR": np.asarray([[cor]], np.float32),
+             "mu": np.asarray([[0.3]], np.float32),
+             "Crr": np.asarray([[0.0]], np.float32)}
+    params = make_params(h=1e-6, gravity=[0, 0, 0], domain=[1, 1, 1],
+                         materials=mats, pair_materials=pairs,
+                         update_freq=50)
+    eng = Engine(cfg)
+    state = eng.advance(state, params, 5000, update_freq=50)
+    v = np.asarray(state.owners.vel)
+    assert v[0, 0] < 0 and v[1, 0] > 0
+    np.testing.assert_allclose(abs(v[0, 0]), cor, rtol=0.05)
+    np.testing.assert_allclose(v[0] + v[1], 0.0, atol=1e-5)
