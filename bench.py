@@ -32,7 +32,7 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
-    n = args.n or (131072 if on_tpu else 2048)
+    n = args.n or (16384 if on_tpu else 2048)
 
     from __graft_entry__ import _build_case
     from dem_engine_tpu.solver import Engine

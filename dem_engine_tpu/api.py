@@ -224,6 +224,27 @@ class DEMTracker:
         )
 
 
+class BoxRegion:
+    """Axis-aligned box region filter for inspectors (the reference's
+    region-string equivalent, AuxClasses.cpp:139-157)."""
+
+    def __init__(self, lo, hi):
+        self.lo = np.asarray(lo, np.float64)
+        self.hi = np.asarray(hi, np.float64)
+
+    def __call__(self, pos):
+        return np.all((pos >= self.lo) & (pos <= self.hi), axis=1)
+
+
+class SphereRegion:
+    def __init__(self, center, radius):
+        self.center = np.asarray(center, np.float64)
+        self.radius = float(radius)
+
+    def __call__(self, pos):
+        return np.linalg.norm(pos - self.center, axis=1) <= self.radius
+
+
 class DEMInspector:
     """Jitted reduction queries over the live state (reference DEMInspector,
     AuxClasses.cpp:88-157). Quantities: clump_max_z, clump_min_z, clump_max_x
@@ -452,6 +473,24 @@ class DEMSolver:
 
     def SetSortContactPairs(self, flag: bool):
         pass  # tables are always canonically ordered here
+
+    def SetOutputContent(self, content):
+        """Select clump-output columns (reference OUTPUT_CONTENT flags,
+        API.h:1317). Accepts OutputContent flags or a list of strings."""
+        if isinstance(content, (list, tuple)):
+            flags = defines.OutputContent.XYZ
+            for c in content:
+                flags |= defines.OutputContent[c.upper()]
+            content = flags
+        self._out_content = content
+
+    def SetContactOutputContent(self, content):
+        if isinstance(content, (list, tuple)):
+            flags = defines.ContactOutputContent.FORCE
+            for c in content:
+                flags |= defines.ContactOutputContent[c.upper()]
+            content = flags
+        self._cnt_out_content = content
 
     def UseFrictionlessHertzianModel(self) -> ForceModel:
         self._force_model = HertzianFrictionlessForceModel()
@@ -1479,17 +1518,33 @@ class DEMSolver:
     def WriteClumpFile(self, path):
         st = self.state
         nc = self._n_clump_owners
+        oc = self._out_content
+        OC = defines.OutputContent
         pos = self.GetOwnerPosition()[:nc]
         names = [
             (t.name or f"type_{i}")
             for i, t in enumerate(self._owner_template[:nc])
         ]
+        extra = {}
+        if oc & OC.ABSV:
+            extra["absv"] = np.linalg.norm(
+                np.asarray(st.owners.vel)[:nc], axis=1
+            )
+        if oc & OC.ACC:
+            acc = np.asarray(st.owners.lin_acc)[:nc]
+            extra.update(
+                {"a_x": acc[:, 0], "a_y": acc[:, 1], "a_z": acc[:, 2]}
+            )
+        for name in self._force_model.owner_wildcards:
+            if oc & OC.OWNER_WILDCARD:
+                extra[name] = np.asarray(st.owners.wildcards[name])[:nc]
         io_utils.write_clumps_csv(
             path, pos, np.asarray(st.owners.quat)[:nc],
             vel=np.asarray(st.owners.vel)[:nc],
             ang_vel=np.asarray(st.owners.omg)[:nc],
             family=np.asarray(st.owners.family)[:nc],
             clump_type=np.asarray(names),
+            extra=extra,
         )
 
     def WriteContactFile(self, path, force_thres: float = -1.0):
