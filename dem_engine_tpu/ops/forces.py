@@ -138,21 +138,6 @@ def _make_ctx(table, overlap, b2a, cp_a, cp_b, A, B, a_geo, b_geo,
     )
 
 
-_SPH_REC_W = 6  # owner1 relpos3 radius1 mat1
-
-
-def pack_sphere_records(spheres: Spheres):
-    return jnp.concatenate(
-        [
-            spheres.owner.astype(F)[:, None],
-            spheres.relpos,
-            spheres.radius[:, None],
-            spheres.mat.astype(F)[:, None],
-        ],
-        axis=1,
-    )
-
-
 # ---------------------------------------------------------------------------
 # per-contact static denormalization (built once per CD refresh): the step
 # loop then touches only the contact table (contiguous) plus TWO owner-record
@@ -234,7 +219,6 @@ def contact_pass(
     voxel_size: float,
     model,
     owner_rec=None,
-    sph_rec=None,
 ):
     """Evaluate one contact class. The contact table's denormalized
     static_rec supplies all per-contact constants (contiguous reads); only
