@@ -25,7 +25,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from .defines import F, HUGE_FLOAT, I, TimeIntegrator
+from .defines import F, HUGE_FLOAT, I, RESERVED_FAMILY, TimeIntegrator
 from .models.prescriptions import PrescriptionTables
 from .ops import binning, forces, history, integrator, quat, voxel
 from .state import (
@@ -101,11 +101,20 @@ def tri_world_nodes(owners, tris, voxel_size):
 # ---------------------------------------------------------------------------
 
 
-def _with_plans(table, owner_src_a, owner_src_b, n_owners, depth):
-    """Attach the combined gather-reduction plan to a freshly built table."""
+def _with_plans(table, owner_src_a, owner_src_b, owner_family, n_owners,
+                depth):
+    """Attach the combined gather-reduction plan to a freshly built table.
+
+    Reserved-fixed owners (family 255 — walls, drums, floors) are excluded:
+    they can sit in thousands of contacts, which would blow up the uniform
+    per-owner plan depth, and the integrator discards their wrench anyway.
+    """
     live = table.idA >= 0
     oa = jnp.where(live, owner_src_a[jnp.where(live, table.idA, 0)], -1)
     ob = jnp.where(live, owner_src_b[jnp.where(live, table.idB, 0)], -1)
+    fixed = owner_family == RESERVED_FAMILY
+    oa = jnp.where(fixed[jnp.maximum(oa, 0)] & (oa >= 0), -1, oa)
+    ob = jnp.where(fixed[jnp.maximum(ob, 0)] & (ob >= 0), -1, ob)
     plan, ovf_p = forces.build_reduction_plan(oa, ob, n_owners, depth)
     ovf = jnp.where(ovf_p, OVF_PLAN, 0).astype(I)
     return table.replace(plan_a=plan), ovf
@@ -153,7 +162,8 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     overflow = jnp.where(n_ss > cfg.cap_ss, OVF_SS_CAP, 0).astype(I)
     if cfg.reduce_mode == "gather":
         ss, povf = _with_plans(
-            ss, spheres.owner, spheres.owner, owners.n, cfg.plan_d
+            ss, spheres.owner, spheres.owner, owners.family, owners.n,
+            cfg.plan_d,
         )
         overflow |= povf
     ss = forces.build_static_rec("ss", ss, spheres, tris, anals)
@@ -186,7 +196,8 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             st = _mark_persistent(st, sph_family, tri_fam, params)
         if cfg.reduce_mode == "gather":
             st, povf = _with_plans(
-                st, spheres.owner, tris.owner, owners.n, cfg.plan_d
+                st, spheres.owner, tris.owner, owners.family, owners.n,
+                cfg.plan_d,
             )
             overflow |= povf
         st = forces.build_static_rec("st", st, spheres, tris, anals)
@@ -228,7 +239,8 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             )
         if cfg.reduce_mode == "gather":
             sa, povf = _with_plans(
-                sa, spheres.owner, anals.owner, owners.n, cfg.plan_d
+                sa, spheres.owner, anals.owner, owners.family, owners.n,
+                cfg.plan_d,
             )
             overflow |= povf
         sa = forces.build_static_rec("sa", sa, spheres, tris, anals)
