@@ -47,10 +47,12 @@ from .voxel import rel_pos
 # bounded by 2^20, families by 256).
 # ---------------------------------------------------------------------------
 
-_OWNER_REC_W = 21  # vox3 loc3 quat4 vel3 omg3 mass1 moi3 family1
+_OWNER_REC_W = 32  # vox3 loc3 quat4 vel3 omg3 mass1 moi3 family1 + pad
+# (padded to 32 f32 = 128 B so each gather row is lane-aligned)
 
 
 def pack_owner_records(owners: Owners):
+    n = owners.vox.shape[0]
     return jnp.concatenate(
         [
             owners.vox.astype(F),
@@ -61,6 +63,7 @@ def pack_owner_records(owners: Owners):
             owners.mass[:, None],
             owners.moi,
             owners.family.astype(F)[:, None],
+            jnp.zeros((n, _OWNER_REC_W - 21), F),
         ],
         axis=1,
     )
