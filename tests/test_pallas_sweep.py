@@ -82,3 +82,25 @@ def test_pallas_sweep_dense_cluster():
     # via bin occupancy so the engine can fall back / grow
     if int(occ1) <= 16:
         assert _pairs_set(a1, b1, int(n1)) == _pairs_set(a2, b2, int(n2))
+
+
+def test_pallas_sweep_v2_matches_xla():
+    from dem_engine_tpu.ops.pallas_sweep2 import find_pairs_ss_pallas2
+
+    pos, reach, owner, family = _random_spheres(700, seed=5)
+    fam_mask = jnp.ones((256, 256), bool)
+    domain = jnp.asarray([0.25, 0.25, 0.25], F)
+    bs, nb = binning.build_grid(domain, reach.max())
+    cap = 8192
+    a1, b1, n1, occ1, _ = binning.find_pairs_ss(
+        pos, reach, owner, family, fam_mask, bs, nb, cap, 16
+    )
+    a2, b2, n2, occ2, _, win_ovf = find_pairs_ss_pallas2(
+        pos, reach, owner, family, fam_mask, bs, nb, cap, interpret=True,
+        tile=64, win=256,
+    )
+    assert not bool(win_ovf)
+    s1 = _pairs_set(a1, b1, int(n1))
+    s2 = _pairs_set(a2, b2, int(n2))
+    assert s1 == s2, (len(s1), len(s2))
+    assert len(s1) > 100
