@@ -44,6 +44,8 @@ def _make_kernel(tile, win):
         accs = []
         for o in range(14):
             base = jnp.minimum(sev[0, o].astype(jnp.int32), spad - win)
+            # Mosaic requires the lane-dim DMA offset to be 128-divisible
+            base = pl.multiple_of((base // 128) * 128, 128)
             dma = pltpu.make_async_copy(
                 recT_hbm.at[:, pl.ds(base, win)], slab_ref, sem
             )
@@ -81,13 +83,19 @@ def _make_kernel(tile, win):
     return kernel
 
 
-def sweep_bitmask_v2(rec_T, se, interpret=False, tile=None, win=None):
+def sweep_bitmask_v2(rec_T, se, rec_T_padded=None, interpret=False,
+                     tile=None, win=None):
     """rec_T: (8, Spad) field-major records (row 7 = slot index).
     se: (32, Spad) f32 — rows 0..13 window starts, 16..29 window ends.
-    Returns (Spad, 128) i32 bitmask matrix (cols 0..13 used)."""
+    rec_T_padded: (8, Spad + win) slab source (defaults to rec_T padded
+    with far-away sentinels). Returns (Spad, 128) i32 bitmasks."""
     tile = tile or TILE
     win = win or WIN
     spad = rec_T.shape[1]
+    if rec_T_padded is None:
+        rec_T_padded = jnp.concatenate(
+            [rec_T, jnp.zeros((8, win), F).at[3].set(-1e30)], axis=1
+        )
     assert spad % tile == 0
     out = pl.pallas_call(
         _make_kernel(tile, win),
@@ -107,7 +115,7 @@ def sweep_bitmask_v2(rec_T, se, interpret=False, tile=None, win=None):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(rec_T, se, rec_T)
+    )(rec_T, se, rec_T_padded)
     return out
 
 
@@ -133,11 +141,12 @@ def find_pairs_ss_pallas2(pos, reach, owner, family, family_mask, bin_size,
     ends = jnp.minimum(ends, starts + MPB)
 
     tile_base = starts.reshape(-1, tile, 14)[:, 0:1, :]
-    win_ovf = jnp.any((ends.reshape(-1, tile, 14) - tile_base) > win)
+    # the kernel aligns the slab start down by up to 127 slots
+    win_ovf = jnp.any((ends.reshape(-1, tile, 14) - tile_base) > win - 128)
 
     k = jnp.arange(spad, dtype=F)
     rec = jnp.concatenate([tab.rec, k[:, None]], axis=1)
-    rec_T = rec.T  # (8, spad)
+    rec_T = rec.T  # (8, spad); slab source gets sentinel padding inside
     se = jnp.concatenate(
         [
             starts.astype(F).T,                       # rows 0..13
