@@ -67,6 +67,7 @@ def _make_kernel(tile, win):
                 )
                 hit = d2 < rr * rr
                 hit &= my_own != c[4:5, :]
+                hit &= my_reach > -1e29  # exclude padding rows here
                 hit &= (wslot >= st) & (wslot < en)
                 if o == 0:
                     hit &= wslot.astype(F) > my_slot
@@ -136,8 +137,12 @@ def find_pairs_ss_pallas2(pos, reach, owner, family, family_mask, bin_size,
     tgt3 = tab.idx3[:, None, :] + offs[None, :, :]
     ok3 = jnp.all((tgt3 >= 0) & (tgt3 < nb[None, None, :]), axis=-1)
     tgt = jnp.where(ok3, binning.flat_bin(tgt3, nb), -2)
-    starts = jnp.searchsorted(tab.sorted_bin, tgt).astype(I)
-    ends = jnp.searchsorted(tab.sorted_bin, tgt, side="right").astype(I)
+    starts = jnp.searchsorted(
+        tab.sorted_bin, tgt, method="sort"
+    ).astype(I)
+    ends = jnp.searchsorted(
+        tab.sorted_bin, tgt, side="right", method="sort"
+    ).astype(I)
     ends = jnp.minimum(ends, starts + MPB)
 
     tile_base = starts.reshape(-1, tile, 14)[:, 0:1, :]
@@ -160,22 +165,34 @@ def find_pairs_ss_pallas2(pos, reach, owner, family, family_mask, bin_size,
     mask = sweep_bitmask_v2(rec_T, se, interpret=interpret, tile=tile,
                             win=win)[:, :14]
 
+    # decode: purely arithmetic payloads (sorted-space slots); the id /
+    # family gathers run AFTER compaction over the small live set
     m = jnp.arange(MPB, dtype=I)
     hit = ((mask[..., None] >> m) & 1).astype(bool)
-    slots = jnp.minimum(starts[..., None] + m, spad - 1)
-    fam_flat = family_mask.reshape(-1)
-    my_fam = tab.rec[:, 5].astype(I)
-    cand_fam = tab.rec[:, 5].astype(I)[slots]
-    hit &= fam_flat[my_fam[:, None, None] * 256 + cand_fam]
-    hit &= (tab.order < S)[:, None, None]
-    my_id = tab.order
-    cand_id = tab.order[slots]
-    a = jnp.broadcast_to(my_id[:, None, None], hit.shape)
-    lo = jnp.minimum(a, cand_id).reshape(-1)
-    hi = jnp.maximum(a, cand_id).reshape(-1)
+    slot_b = starts[..., None] + m
+    slot_a = jnp.broadcast_to(
+        jnp.arange(spad, dtype=I)[:, None, None], hit.shape
+    )
+    sA = jnp.full((cap,), spad - 1, I)
+    sB = jnp.full((cap,), spad - 1, I)
+    (sA, sB), total0 = binning._compact(
+        hit.reshape(-1),
+        (slot_a.reshape(-1), jnp.minimum(slot_b, spad - 1).reshape(-1)),
+        cap, jnp.zeros((), I), (sA, sB),
+    )
+    # post-compaction: resolve ids + family mask, then squeeze out rejects
+    live0 = jnp.arange(cap, dtype=I) < jnp.minimum(total0, cap)
+    idA0 = tab.order[sA]
+    idB0 = tab.order[sB]
+    famA = tab.rec[sA, 5].astype(I)
+    famB = tab.rec[sB, 5].astype(I)
+    keep = live0 & family_mask[famA, famB]
+    lo = jnp.minimum(idA0, idB0)
+    hi = jnp.maximum(idA0, idB0)
     outA = jnp.full((cap,), -1, I)
     outB = jnp.full((cap,), -1, I)
     (outA, outB), total = binning._compact(
-        hit.reshape(-1), (lo, hi), cap, jnp.zeros((), I), (outA, outB)
+        keep, (lo, hi), cap, jnp.zeros((), I), (outA, outB)
     )
+    win_ovf = win_ovf | (total0 > cap)  # pre-filter stage overflowed
     return outA, outB, total, tab.max_occ, tab, win_ovf

@@ -31,6 +31,7 @@ from .ops import binning, forces, history, integrator, quat, voxel
 from .state import (
     OVF_AVG_CONTACTS,
     OVF_BIN_OCC,
+    OVF_PALLAS_WIN,
     OVF_PLAN,
     OVF_SA_CAP,
     OVF_SS_CAP,
@@ -149,10 +150,19 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     bin_size, nb = binning.build_grid(params.domain, max_reach)
     sph_family = owners.family[spheres.owner]
 
-    idA, idB, n_ss, max_occ, tab = binning.find_pairs_ss(
-        pos, reach, spheres.owner, sph_family, params.family_mask,
-        bin_size, nb, cfg.cap_ss, cfg.max_per_bin, cfg.cd_chunk,
-    )
+    if cfg.use_pallas_sweep:
+        from .ops.pallas_sweep2 import find_pairs_ss_pallas2
+
+        idA, idB, n_ss, max_occ, tab, win_ovf = find_pairs_ss_pallas2(
+            pos, reach, spheres.owner, sph_family, params.family_mask,
+            bin_size, nb, cfg.cap_ss, win=cfg.pallas_win,
+        )
+    else:
+        idA, idB, n_ss, max_occ, tab = binning.find_pairs_ss(
+            pos, reach, spheres.owner, sph_family, params.family_mask,
+            bin_size, nb, cfg.cap_ss, cfg.max_per_bin, cfg.cd_chunk,
+        )
+        win_ovf = jnp.zeros((), bool)
     ss = history.carry_history(
         state.ss, idA, idB, jnp.minimum(n_ss, cfg.cap_ss), wc_names,
         cfg.use_persistency,
@@ -169,7 +179,9 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     ss = forces.build_static_rec("ss", ss, spheres, tris, anals)
     overflow |= jnp.where(ss.count > cfg.cap_ss, OVF_SS_CAP, 0)
     ss = ss.replace(count=jnp.minimum(ss.count, cfg.cap_ss))
-    overflow |= jnp.where(max_occ > cfg.max_per_bin, OVF_BIN_OCC, 0)
+    occ_cap = 16 if cfg.use_pallas_sweep else cfg.max_per_bin
+    overflow |= jnp.where(max_occ > occ_cap, OVF_BIN_OCC, 0)
+    overflow |= jnp.where(win_ovf, OVF_PALLAS_WIN, 0)
 
     # --- sphere-triangle ---------------------------------------------------
     if tris.n > 0:
@@ -354,7 +366,7 @@ def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
 # ---------------------------------------------------------------------------
 
 _CAP_OVF = (OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC
-            | OVF_TRI_BINS | OVF_PLAN)
+            | OVF_TRI_BINS | OVF_PLAN | OVF_PALLAS_WIN)
 
 
 class Engine:
@@ -438,7 +450,15 @@ class Engine:
         if ovf & OVF_SA_CAP:
             changes["cap_sa"] = int(cfg.cap_sa * _GROWTH) + 64
         if ovf & OVF_BIN_OCC:
-            changes["max_per_bin"] = int(cfg.max_per_bin * _GROWTH) + 8
+            if cfg.use_pallas_sweep:
+                # the kernel's bitmask caps per-bin occupancy at 16; fall
+                # back to the XLA sweep with a grown cap
+                changes["use_pallas_sweep"] = False
+                changes["max_per_bin"] = max(cfg.max_per_bin, 16) + 8
+            else:
+                changes["max_per_bin"] = int(cfg.max_per_bin * _GROWTH) + 8
+        if ovf & OVF_PALLAS_WIN:
+            changes["pallas_win"] = cfg.pallas_win * 2
         if ovf & OVF_TRI_BINS:
             changes["max_tri_span"] = cfg.max_tri_span + 2
         if ovf & OVF_PLAN:

@@ -236,6 +236,7 @@ OVF_TRI_BINS = 32
 OVF_VEL = 64        # max system velocity above error-out threshold
 OVF_PLAN = 128      # reduction-plan depth exceeded
 OVF_AVG_CONTACTS = 256  # avg contacts/sphere above error-out threshold
+OVF_PALLAS_WIN = 512    # pallas sweep slab window exceeded
 
 
 @pytree_dataclass
@@ -308,6 +309,8 @@ class SolverConfig:
     max_tri_span: int = 4               # bins per axis a triangle may cover
     cd_chunk: int = 0                   # 0 = no chunking of the CD sweep
     plan_d: int = 32                    # per-owner contact depth (gather plan)
+    use_pallas_sweep: bool = False      # Pallas CD sweep kernel (TPU)
+    pallas_win: int = 1024              # sweep slab window size
     prescriptions: Tuple[Any, ...] = ()  # prescriptions.FamilyPrescription
     family_changes: Tuple[Any, ...] = ()
     use_persistency: bool = False
@@ -328,6 +331,8 @@ class SolverConfig:
                 self.max_tri_span,
                 self.cd_chunk,
                 self.plan_d,
+                self.use_pallas_sweep,
+                self.pallas_win,
                 tuple(id(p) for p in self.prescriptions),
                 tuple(id(c) for c in self.family_changes),
                 self.use_persistency,
