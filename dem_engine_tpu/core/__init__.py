@@ -8,6 +8,7 @@ toolchain (`native_available()` reports which path is active).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,20 +18,41 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native.cpp")
 _SO = os.path.join(_HERE, "libdemnative.so")
+_SO_SHA = _SO + ".sha"  # content hash of the source the .so was built from
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _build(src_hash: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
             check=True, capture_output=True, timeout=120,
         )
+        with open(_SO_SHA, "w") as f:
+            f.write(src_hash)
         return True
     except Exception:
         return False
+
+
+def _so_stale(src_hash: str) -> bool:
+    """Rebuild keyed on a content hash (mtimes are unreliable: a git
+    checkout gives source and artifact the same mtime, risking a stale
+    binary dlopen'd against newer ctypes signatures)."""
+    if not os.path.exists(_SO):
+        return True
+    try:
+        with open(_SO_SHA) as f:
+            return f.read().strip() != src_hash
+    except OSError:
+        return True
 
 
 def _load():
@@ -39,10 +61,9 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or (
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-        ):
-            if not _build():
+        src_hash = _src_hash()
+        if _so_stale(src_hash):
+            if not _build(src_hash):
                 return None
         try:
             lib = ctypes.CDLL(_SO)

@@ -76,13 +76,17 @@ def _hertz_core(ctx: ContactContext, with_friction: bool):
         delta_time = ctx.wildcards["delta_time"] + ts
 
         # --- rolling resistance (Schwartz; torque-only force) ---------
-        r_eff_sqrt = jnp.sqrt(r_eff)
-        kn_simple = (4.0 / 3.0) * E_eff * r_eff_sqrt
+        # The reference defines R_eff = sqrt(r_eff) and uses
+        # kn_simple ∝ sqrt(R_eff) = r_eff^0.25, gn_simple ∝ R_eff^0.25 =
+        # r_eff^0.125 (FullHertzianForceModel.cu:74-76) — matched exactly so
+        # t_collision and the rolling-resistance onset agree.
+        R_eff = jnp.sqrt(r_eff)
+        kn_simple = (4.0 / 3.0) * E_eff * jnp.sqrt(R_eff)
         gn_simple = (
             -2.0
             * jnp.sqrt((5.0 / 3.0) * m_eff * E_eff)
             * beta
-            * jnp.sqrt(jnp.sqrt(r_eff))
+            * jnp.sqrt(jnp.sqrt(R_eff))
         )
         d_coeff = gn_simple / (2.0 * jnp.sqrt(kn_simple * m_eff))
         t_collision = _PI * jnp.sqrt(

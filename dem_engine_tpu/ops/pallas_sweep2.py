@@ -194,5 +194,9 @@ def find_pairs_ss_pallas2(pos, reach, owner, family, family_mask, bin_size,
     (outA, outB), total = binning._compact(
         keep, (lo, hi), cap, jnp.zeros((), I), (outA, outB)
     )
-    win_ovf = win_ovf | (total0 > cap)  # pre-filter stage overflowed
+    # a pre-filter (stage-1) overflow is an ordinary table-capacity overflow:
+    # report the larger stage-1 count as `total` so the caller's
+    # `count > cap` check raises OVF_SS_CAP and grows cap_ss, NOT the VMEM
+    # window (which only OVF_PALLAS_WIN should grow)
+    total = jnp.maximum(total, total0)
     return outA, outB, total, tab.max_occ, tab, win_ovf

@@ -67,7 +67,8 @@ def sphere_margins(owners, spheres, params):
     lin = jnp.linalg.norm(owners.vel[own], axis=-1)
     arm = jnp.linalg.norm(spheres.relpos, axis=-1) + spheres.radius
     rot = jnp.linalg.norm(owners.omg[own], axis=-1) * arm
-    absv = jnp.minimum(lin + rot, params.approx_max_vel)
+    raw = lin + rot  # uncapped: feeds the error-out divergence check
+    absv = jnp.minimum(raw, params.approx_max_vel)
     t_drift = params.h * params.max_drift.astype(F)
     g_mag = jnp.linalg.norm(params.gravity)
     margin = (
@@ -76,7 +77,7 @@ def sphere_margins(owners, spheres, params):
         + 0.5 * g_mag * t_drift * t_drift
     )
     fam = owners.family[own]
-    return margin + params.family_extra_margin[fam], absv
+    return margin + params.family_extra_margin[fam], absv, raw
 
 
 def owner_margin(owners, idx, arm, params):
@@ -142,10 +143,15 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     wc_names = cfg.force_model.contact_wildcards
 
     pos = sphere_world_pos(owners, spheres, vs)
-    margin, absv = sphere_margins(owners, spheres, params)
+    margin, absv, raw_absv = sphere_margins(owners, spheres, params)
     reach = spheres.radius + margin
     max_reach = reach.max()
-    max_vel = absv.max()
+    # uncapped |v| for the divergence guard (the reference reduces the raw
+    # velocity, kT.cpp:136); non-finite values poison the max so NaN/Inf
+    # states trip the same check via the ~(x <= thresh) comparison below
+    max_vel = jnp.where(
+        jnp.all(jnp.isfinite(raw_absv)), raw_absv.max(), jnp.inf
+    ).astype(F)
 
     bin_size, nb = binning.build_grid(params.domain, max_reach)
     sph_family = owners.family[spheres.owner]
@@ -195,9 +201,15 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         bin_lo = amin - max_reach
         bin_hi = amax + max_reach
         tri_fam = owners.family[tris.owner]
+        # in Pallas-sweep mode bins may legally hold up to the kernel's
+        # occupancy cap (16) even when cfg.max_per_bin is smaller; the ST
+        # sweep must scan that many slots or it would silently drop
+        # candidates without raising any overflow flag
+        mpb_st = max(cfg.max_per_bin, 16) if cfg.use_pallas_sweep \
+            else cfg.max_per_bin
         tA, tB, n_st, span_ovf = binning.find_pairs_st(
             amin, amax, tris.owner, tri_fam, tab, params.family_mask,
-            bin_size, nb, cfg.cap_st, cfg.max_tri_span, cfg.max_per_bin,
+            bin_size, nb, cfg.cap_st, cfg.max_tri_span, mpb_st,
             bin_lo, bin_hi,
         )
         st = history.carry_history(
@@ -262,7 +274,7 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     else:
         sa = state.sa
 
-    overflow |= jnp.where(max_vel > params.error_out_vel, OVF_VEL, 0)
+    overflow |= jnp.where(~(max_vel <= params.error_out_vel), OVF_VEL, 0)
     # sanity check mirroring the reference's avg-contacts-per-sphere
     # error-out (DEMCubContactDetection.cu:882-892)
     avg_cnt = 2.0 * ss.count.astype(F) / jnp.maximum(spheres.n, 1)
@@ -458,7 +470,12 @@ class Engine:
             else:
                 changes["max_per_bin"] = int(cfg.max_per_bin * _GROWTH) + 8
         if ovf & OVF_PALLAS_WIN:
-            changes["pallas_win"] = cfg.pallas_win * 2
+            if cfg.pallas_win >= 16384:
+                # past a VMEM-safe slab size: give up on the Pallas sweep
+                changes["use_pallas_sweep"] = False
+                changes["max_per_bin"] = max(cfg.max_per_bin, 16)
+            else:
+                changes["pallas_win"] = cfg.pallas_win * 2
         if ovf & OVF_TRI_BINS:
             changes["max_tri_span"] = cfg.max_tri_span + 2
         if ovf & OVF_PLAN:
