@@ -523,7 +523,11 @@ class DEMSolver:
         pass  # forces are always recorded in the tables
 
     def UseAdaptiveUpdateFreq(self, flag: bool = True):
+        """Auto-tune the CD cadence from measured superchunk wall time
+        (reference AccumStepUpdater, dT.h:721-753, dT.cpp:2276-2299)."""
         self._adaptive_freq = bool(flag)
+        if self._initialized:
+            self.engine.auto_freq = self._adaptive_freq
 
     def SetForceCalcThreadsPerBlock(self, n):
         pass  # no CUDA blocks; kept for source compatibility
@@ -691,23 +695,35 @@ class DEMSolver:
 
         self._merge_presc(FamilyPrescription(family=family, ang_acc=fn))
 
+    def _mask_changed(self):
+        if not self._initialized:
+            return
+        self._rebuild_params()
+        # the SS family post-filter may have been compiled out when the
+        # mask was all-true at Initialize; re-enable it if needed
+        if (not self.engine.cfg.ss_family_filter
+                and not bool(np.all(self._family_mask))):
+            import dataclasses as _dc
+
+            self.engine.cfg = _dc.replace(
+                self.engine.cfg, ss_family_filter=True
+            )
+            self.engine._build()
+
     def DisableContactBetweenFamilies(self, famA: int, famB: int):
         self._family_mask[famA, famB] = False
         self._family_mask[famB, famA] = False
-        if self._initialized:
-            self._rebuild_params()
+        self._mask_changed()
 
     def EnableContactBetweenFamilies(self, famA: int, famB: int):
         self._family_mask[famA, famB] = True
         self._family_mask[famB, famA] = True
-        if self._initialized:
-            self._rebuild_params()
+        self._mask_changed()
 
     def DisableFamilyContact(self, fam: int):
         self._family_mask[fam, :] = False
         self._family_mask[:, fam] = False
-        if self._initialized:
-            self._rebuild_params()
+        self._mask_changed()
 
     def SetFamilyExtraMargin(self, family: int, margin: float):
         """Extra CD margin so non-contact force models see distant pairs
@@ -1082,9 +1098,10 @@ class DEMSolver:
         cap_ss = max(128, int(5 * n_spheres))
         cap_st = max(64, 4 * tris.n) if tris.n else 8
         cap_sa = max(64, n_spheres) if anals.n else 8
-        # gather-plan reduction wins on TPU (scatter-add is slow there);
-        # scatter wins on CPU where the tests run
+        # sorted-segment reduction + Pallas sweep win on TPU (scatter-add
+        # is ~10x a gather there); scatter wins on CPU where the tests run
         platform = jax.devices()[0].platform
+        on_tpu = platform != "cpu"
         cfg = SolverConfig(
             voxel_size=self._voxel_size,
             integrator=self._integrator,
@@ -1095,11 +1112,14 @@ class DEMSolver:
             prescriptions=tuple(self._prescriptions.values()),
             family_changes=tuple(self._family_changes),
             use_persistency=self._use_persistency,
-            reduce_mode="scatter" if platform == "cpu" else "gather",
+            reduce_mode="segment" if on_tpu else "scatter",
+            use_pallas_sweep=on_tpu,
+            ss_family_filter=not bool(np.all(self._family_mask)),
         )
         self.state = make_state(owners, spheres, cfg, tris=tris, anals=anals)
         self._seed_existing_contacts(cfg)
         self.engine = Engine(cfg)
+        self.engine.auto_freq = getattr(self, "_adaptive_freq", False)
         self._rebuild_params()
         self._initialized = True
         for t in getattr(self, "_pending_trackers", []):
@@ -1139,7 +1159,9 @@ class DEMSolver:
         idB = np.concatenate(pairs_b)
         n = len(idA)
         cap = max(cfg.cap_ss, n)
-        table = ContactTable.empty(cap, cfg.force_model.contact_wildcards)
+        from .ops.forces import premix_names
+        table = ContactTable.empty(cap, cfg.force_model.contact_wildcards,
+                                   premix_names(cfg.force_model))
         table = table.replace(
             idA=table.idA.at[:n].set(jnp.asarray(idA, I)),
             idB=table.idB.at[:n].set(jnp.asarray(idB, I)),
@@ -1318,19 +1340,6 @@ class DEMSolver:
         self._owner_volume = np.concatenate(
             [self._owner_volume, np.zeros(oid - n0)]
         )
-        if self.engine.cfg.reduce_mode == "gather":
-            psz = int(owners.n) * self.engine.cfg.plan_d
-
-            def replan(t):
-                return t.replace(
-                    plan_a=jnp.full((psz,), 2 * t.cap, jnp.int32),
-                )
-
-            self.state = self.state.replace(
-                ss=replan(self.state.ss),
-                st=replan(self.state.st),
-                sa=replan(self.state.sa),
-            )
         self.engine._build()  # shapes changed; fresh jit caches
 
     # ------------------------------------------------------------------
@@ -1605,15 +1614,36 @@ class DEMSolver:
     # stats & observability (reference API.h:571-584, :1276-1292)
     # ------------------------------------------------------------------
     def ShowTimingStats(self):
+        """Per-stage wall-time table (reference SolverTimers,
+        dT.h:294-297 / ShowTimingStats, APIPublic.cpp:2215)."""
+        t = self.engine.timers
+        fused_per = (t["fused_s"] / t["fused_steps"] * 1e3
+                     if t["fused_steps"] else 0.0)
+        step_per = (t["steps_s"] / t["steps_n"] * 1e3
+                    if t["steps_n"] else 0.0)
+        refresh_per = (t["refresh_s"] / t["refresh_n"] * 1e3
+                       if t["refresh_n"] else 0.0)
         print(
             f"[timing] total wall {self._timers['total']:.3f}s over "
-            f"{self._n_steps_done} steps, {self._n_refreshes} CD refreshes"
+            f"{self._n_steps_done} steps, {self._n_refreshes} CD refreshes\n"
+            f"  fused superchunks : {t['fused_s']:8.3f}s"
+            f"  ({t['fused_steps']} steps, {fused_per:.3f} ms/step)\n"
+            f"  CD refresh (solo) : {t['refresh_s']:8.3f}s"
+            f"  ({t['refresh_n']} refreshes, {refresh_per:.1f} ms each)\n"
+            f"  dynamics (solo)   : {t['steps_s']:8.3f}s"
+            f"  ({t['steps_n']} steps, {step_per:.3f} ms/step)\n"
+            f"  program compiles  : {t['compiles']}"
+            + (f"\n  adaptive CD freq  : K={self.engine.active_freq} "
+               f"measured {[(k, round(v*1e3, 3)) for k, v in sorted(self.engine._k_perf.items())]} ms/step"
+               if self.engine.auto_freq else "")
         )
 
     def ClearTimingStats(self):
         self._timers = {"refresh": 0.0, "steps": 0.0, "total": 0.0}
         self._n_steps_done = 0
         self._n_refreshes = 0
+        for k in self.engine.timers:
+            self.engine.timers[k] = 0.0 if k.endswith("_s") else 0
 
     def ShowThreadCollaborationStats(self):
         print(

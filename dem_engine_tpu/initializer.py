@@ -131,15 +131,17 @@ def make_state(owners: Owners, spheres: Spheres, cfg: SolverConfig,
                tris: Optional[Triangles] = None,
                anals: Optional[Analyticals] = None) -> SimState:
     wc = cfg.force_model.contact_wildcards
-    psz = owners.n * cfg.plan_d if cfg.reduce_mode == "gather" else 0
+    from .ops.forces import premix_names
+
+    pn = premix_names(cfg.force_model)
     return SimState(
         owners=owners,
         spheres=spheres,
         tris=tris if tris is not None else empty_triangles(),
         anals=anals if anals is not None else empty_analyticals(),
-        ss=ContactTable.empty(cfg.cap_ss, wc, psz),
-        st=ContactTable.empty(cfg.cap_st, wc, psz),
-        sa=ContactTable.empty(cfg.cap_sa, wc, psz),
+        ss=ContactTable.empty(cfg.cap_ss, wc, pn),
+        st=ContactTable.empty(cfg.cap_st, wc, pn),
+        sa=ContactTable.empty(cfg.cap_sa, wc, pn),
         time=jnp.zeros((), F),
         step=jnp.zeros((), I),
         overflow=jnp.zeros((), I),

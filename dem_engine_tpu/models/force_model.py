@@ -69,16 +69,25 @@ class ContactContext:
     # material tables (closed over by helpers below)
     mat_props: Dict[str, jnp.ndarray]       # f32[M] per material
     pair_props: Dict[str, jnp.ndarray]      # f32[M,M] pairwise
+    # premixed per-contact material properties (denormalized at CD refresh
+    # by forces.finalize_table; declared props resolve without any gather)
+    premix: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
 
     # -- helpers ----------------------------------------------------------
     def mat(self, name: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Per-material property for (A, B)."""
+        a = self.premix.get(name + ":a")
+        if a is not None:
+            return a, self.premix[name + ":b"]
         tab = self.mat_props[name]
         return tab[self.a_mat], tab[self.b_mat]
 
     def pair(self, name: str) -> jnp.ndarray:
         """Pairwise-mixed property for the (A, B) material pair
         (reference: CoR/mu/Crr tables, FullHertzianForceModel.cu:16-18)."""
+        p = self.premix.get(name)
+        if p is not None:
+            return p
         return self.pair_props[name][self.a_mat, self.b_mat]
 
     def rot_vel_cp_global(self):

@@ -120,7 +120,10 @@ def build_sphere_table(pos, reach, owner, family, bin_size, nb, pad_to):
         ],
         axis=1,
     )
-    sidx3 = take(idx3)
+    # padding rows get the top-corner bin: their sorted position (after the
+    # sentinel sort key) then stays consistent with a maximal bin index, so
+    # per-tile coarse window ends in the Pallas sweep bound real rows
+    sidx3 = jnp.where((order < S)[:, None], take(idx3), nb[None, :] - 1)
 
     # max bin occupancy via run-length over the sorted bins
     k = jnp.arange(pad_to, dtype=I)

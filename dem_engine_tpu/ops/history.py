@@ -126,7 +126,11 @@ def carry_history(
         torque=jnp.zeros((cap, 3), F),
         cpoint=jnp.zeros((cap, 3), F),
         wildcards=wildcards,
-        plan_a=old.plan_a,  # stale; the caller rebuilds plans post-carry
-        plan_b=old.plan_b,
-        static_rec=old.static_rec,  # stale; rebuilt by the caller
+        # stale until the caller's finalize_table rebuilds them
+        own_a=old.own_a,
+        own_b=old.own_b,
+        perm_b=old.perm_b,
+        own_b_sorted=old.own_b_sorted,
+        statics=old.statics,
+        premix=old.premix,
     )

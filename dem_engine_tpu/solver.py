@@ -32,10 +32,10 @@ from .state import (
     OVF_AVG_CONTACTS,
     OVF_BIN_OCC,
     OVF_PALLAS_WIN,
-    OVF_PLAN,
     OVF_SA_CAP,
     OVF_SS_CAP,
     OVF_ST_CAP,
+    OVF_ST_OCC,
     OVF_TRI_BINS,
     OVF_VEL,
     ContactTable,
@@ -103,25 +103,6 @@ def tri_world_nodes(owners, tris, voxel_size):
 # ---------------------------------------------------------------------------
 
 
-def _with_plans(table, owner_src_a, owner_src_b, owner_family, n_owners,
-                depth):
-    """Attach the combined gather-reduction plan to a freshly built table.
-
-    Reserved-fixed owners (family 255 — walls, drums, floors) are excluded:
-    they can sit in thousands of contacts, which would blow up the uniform
-    per-owner plan depth, and the integrator discards their wrench anyway.
-    """
-    live = table.idA >= 0
-    oa = jnp.where(live, owner_src_a[jnp.where(live, table.idA, 0)], -1)
-    ob = jnp.where(live, owner_src_b[jnp.where(live, table.idB, 0)], -1)
-    fixed = owner_family == RESERVED_FAMILY
-    oa = jnp.where(fixed[jnp.maximum(oa, 0)] & (oa >= 0), -1, oa)
-    ob = jnp.where(fixed[jnp.maximum(ob, 0)] & (ob >= 0), -1, ob)
-    plan, ovf_p = forces.build_reduction_plan(oa, ob, n_owners, depth)
-    ovf = jnp.where(ovf_p, OVF_PLAN, 0).astype(I)
-    return table.replace(plan_a=plan), ovf
-
-
 def _mark_persistent(table, famA_src, famB_src, params):
     """Mark contacts persistent by family-pair rule
     (MarkFamilyPersistentContact, reference API.h:870-905)."""
@@ -157,11 +138,12 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     sph_family = owners.family[spheres.owner]
 
     if cfg.use_pallas_sweep:
-        from .ops.pallas_sweep2 import find_pairs_ss_pallas2
+        from .ops.pallas_sweep3 import find_pairs_ss_pallas3
 
-        idA, idB, n_ss, max_occ, tab, win_ovf = find_pairs_ss_pallas2(
+        idA, idB, n_ss, max_occ, tab, win_ovf = find_pairs_ss_pallas3(
             pos, reach, spheres.owner, sph_family, params.family_mask,
             bin_size, nb, cfg.cap_ss, win=cfg.pallas_win,
+            family_filter=cfg.ss_family_filter,
         )
     else:
         idA, idB, n_ss, max_occ, tab = binning.find_pairs_ss(
@@ -176,17 +158,16 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     if cfg.use_persistency:
         ss = _mark_persistent(ss, sph_family, sph_family, params)
     overflow = jnp.where(n_ss > cfg.cap_ss, OVF_SS_CAP, 0).astype(I)
-    if cfg.reduce_mode == "gather":
-        ss, povf = _with_plans(
-            ss, spheres.owner, spheres.owner, owners.family, owners.n,
-            cfg.plan_d,
-        )
-        overflow |= povf
-    ss = forces.build_static_rec("ss", ss, spheres, tris, anals)
+    ss = forces.finalize_table("ss", ss, owners, spheres, tris, anals,
+                               params, cfg.force_model)
     overflow |= jnp.where(ss.count > cfg.cap_ss, OVF_SS_CAP, 0)
     ss = ss.replace(count=jnp.minimum(ss.count, cfg.cap_ss))
-    occ_cap = 16 if cfg.use_pallas_sweep else cfg.max_per_bin
-    overflow |= jnp.where(max_occ > occ_cap, OVF_BIN_OCC, 0)
+    if cfg.use_pallas_sweep:
+        # v3 flags over-wide bin runs itself (via the max_occ sentinel);
+        # per-bin occupancy otherwise only limits the ST sweep (below)
+        overflow |= jnp.where(max_occ >= (1 << 20), OVF_BIN_OCC, 0)
+    else:
+        overflow |= jnp.where(max_occ > cfg.max_per_bin, OVF_BIN_OCC, 0)
     overflow |= jnp.where(win_ovf, OVF_PALLAS_WIN, 0)
 
     # --- sphere-triangle ---------------------------------------------------
@@ -201,12 +182,13 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         bin_lo = amin - max_reach
         bin_hi = amax + max_reach
         tri_fam = owners.family[tris.owner]
-        # in Pallas-sweep mode bins may legally hold up to the kernel's
-        # occupancy cap (16) even when cfg.max_per_bin is smaller; the ST
-        # sweep must scan that many slots or it would silently drop
-        # candidates without raising any overflow flag
-        mpb_st = max(cfg.max_per_bin, 16) if cfg.use_pallas_sweep \
-            else cfg.max_per_bin
+        # the ST sweep scans max_per_bin slots per bin; in Pallas-sweep
+        # mode the SS path no longer bounds bin occupancy, so flag any bin
+        # denser than that scan (OVF_ST_OCC grows max_per_bin)
+        mpb_st = cfg.max_per_bin
+        overflow |= jnp.where(
+            (max_occ > mpb_st) & (max_occ < (1 << 20)), OVF_ST_OCC, 0
+        ) if cfg.use_pallas_sweep else 0
         tA, tB, n_st, span_ovf = binning.find_pairs_st(
             amin, amax, tris.owner, tri_fam, tab, params.family_mask,
             bin_size, nb, cfg.cap_st, cfg.max_tri_span, mpb_st,
@@ -218,13 +200,8 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         )
         if cfg.use_persistency:
             st = _mark_persistent(st, sph_family, tri_fam, params)
-        if cfg.reduce_mode == "gather":
-            st, povf = _with_plans(
-                st, spheres.owner, tris.owner, owners.family, owners.n,
-                cfg.plan_d,
-            )
-            overflow |= povf
-        st = forces.build_static_rec("st", st, spheres, tris, anals)
+        st = forces.finalize_table("st", st, owners, spheres, tris, anals,
+                                   params, cfg.force_model)
         overflow |= jnp.where(n_st > cfg.cap_st, OVF_ST_CAP, 0)
         overflow |= jnp.where(st.count > cfg.cap_st, OVF_ST_CAP, 0)
         st = st.replace(count=jnp.minimum(st.count, cfg.cap_st))
@@ -261,13 +238,8 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             sa = _mark_persistent(
                 sa, sph_family, owners.family[anals.owner], params
             )
-        if cfg.reduce_mode == "gather":
-            sa, povf = _with_plans(
-                sa, spheres.owner, anals.owner, owners.family, owners.n,
-                cfg.plan_d,
-            )
-            overflow |= povf
-        sa = forces.build_static_rec("sa", sa, spheres, tris, anals)
+        sa = forces.finalize_table("sa", sa, owners, spheres, tris, anals,
+                                   params, cfg.force_model)
         overflow |= jnp.where(n_sa > cfg.cap_sa, OVF_SA_CAP, 0)
         overflow |= jnp.where(sa.count > cfg.cap_sa, OVF_SA_CAP, 0)
         sa = sa.replace(count=jnp.minimum(sa.count, cfg.cap_sa))
@@ -305,20 +277,18 @@ def dynamics_step(state: SimState, params: RuntimeParams,
         if n_geo == 0 or table.cap == 0 or state.spheres.n == 0:
             new_tables[kind] = table
             continue
-        if not passes:  # pack the shared owner records once per step
-            owner_rec = forces.pack_owner_records(owners)
+        if not passes:  # pack the shared kinematic records once per step
+            krec = forces.pack_kinematics(owners)
         p = forces.contact_pass(
             kind, table, owners, state.spheres, state.tris, state.anals,
             params, state.time, cfg.voxel_size, model,
-            owner_rec=owner_rec,
+            krec=krec,
         )
         passes.append(p)
         new_tables[kind] = p["table"]
 
-    if cfg.reduce_mode == "gather":
-        f_acc, t_acc = forces.reduce_wrench_gather(
-            owners.n, passes, cfg.plan_d
-        )
+    if cfg.reduce_mode == "segment":
+        f_acc, t_acc = forces.reduce_wrench_segment(owners.n, passes)
     else:
         f_acc, t_acc = forces.reduce_wrench(owners.n, passes)
 
@@ -378,7 +348,7 @@ def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
 # ---------------------------------------------------------------------------
 
 _CAP_OVF = (OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC
-            | OVF_TRI_BINS | OVF_PLAN | OVF_PALLAS_WIN)
+            | OVF_TRI_BINS | OVF_ST_OCC | OVF_PALLAS_WIN)
 
 
 class Engine:
@@ -389,16 +359,33 @@ class Engine:
     inserts the ICI collectives (see parallel/mesh.py).
     """
 
+    #: quantized CD-frequency ladder explored by the adaptive tuner (each
+    #: value is a separate compiled program, so keep the set small)
+    K_LADDER = (5, 8, 12, 18, 25, 36, 52, 75, 108, 156)
+
     def __init__(self, cfg: SolverConfig, mesh=None, fuse: int = 8):
         self.cfg = cfg
         self.mesh = mesh
         self.fuse = fuse  # chunks per fused dispatch (amortizes latency)
+        # adaptive CD cadence (reference AccumStepUpdater, dT.h:721-753,
+        # dT.cpp:2276-2299): measure wall seconds/step per K between fused
+        # superchunks, walk the ladder toward the cheapest K
+        self.auto_freq = False
+        self.active_freq: int | None = None
+        self._k_perf: Dict[int, float] = {}
+        self.timers = {
+            "fused_s": 0.0, "fused_steps": 0,
+            "refresh_s": 0.0, "refresh_n": 0,
+            "steps_s": 0.0, "steps_n": 0,
+            "compiles": 0,
+        }
         self._build()
 
     def _build(self):
         self._refresh_jit = None
         self._step_cache: Dict[int, callable] = {}
         self._chunks_cache: Dict[tuple, callable] = {}
+        self._k_perf.clear()  # capacity changes shift per-step cost
 
     def _chunks_fn(self, n_chunks: int, k: int, state, params):
         key = (n_chunks, k)
@@ -463,44 +450,34 @@ class Engine:
             changes["cap_sa"] = int(cfg.cap_sa * _GROWTH) + 64
         if ovf & OVF_BIN_OCC:
             if cfg.use_pallas_sweep:
-                # the kernel's bitmask caps per-bin occupancy at 16; fall
-                # back to the XLA sweep with a grown cap
+                # a half-shell bin run overflowed the kernel's 64-bit hit
+                # mask: density the Pallas layout can't hold — fall back to
+                # the XLA sweep with a generous occupancy cap
                 changes["use_pallas_sweep"] = False
-                changes["max_per_bin"] = max(cfg.max_per_bin, 16) + 8
+                changes["max_per_bin"] = max(cfg.max_per_bin, 64) + 16
             else:
                 changes["max_per_bin"] = int(cfg.max_per_bin * _GROWTH) + 8
+        if ovf & OVF_ST_OCC:
+            changes["max_per_bin"] = int(
+                max(cfg.max_per_bin, changes.get("max_per_bin", 0))
+                * _GROWTH
+            ) + 8
         if ovf & OVF_PALLAS_WIN:
             if cfg.pallas_win >= 16384:
                 # past a VMEM-safe slab size: give up on the Pallas sweep
                 changes["use_pallas_sweep"] = False
-                changes["max_per_bin"] = max(cfg.max_per_bin, 16)
+                changes["max_per_bin"] = max(cfg.max_per_bin, 64)
             else:
                 changes["pallas_win"] = cfg.pallas_win * 2
         if ovf & OVF_TRI_BINS:
             changes["max_tri_span"] = cfg.max_tri_span + 2
-        if ovf & OVF_PLAN:
-            changes["plan_d"] = int(cfg.plan_d * 1.5) + 8
         self.cfg = dataclasses.replace(cfg, **changes)
         self._build()
-        state = state.replace(
+        return state.replace(
             ss=state.ss.grown(self.cfg.cap_ss),
             st=state.st.grown(self.cfg.cap_st),
             sa=state.sa.grown(self.cfg.cap_sa),
         )
-        if self.cfg.reduce_mode == "gather":
-            n = state.owners.n
-            psz = n * self.cfg.plan_d
-
-            def replan(t):
-                return t.replace(
-                    plan_a=jnp.full((psz,), 2 * t.cap, I),
-                )
-
-            state = state.replace(
-                ss=replan(state.ss), st=replan(state.st),
-                sa=replan(state.sa),
-            )
-        return state
 
     def maybe_shrink(self, state: SimState) -> SimState:
         """Shrink oversized contact capacities (cheap jits beat wasted
@@ -536,35 +513,86 @@ class Engine:
             state = self.grow_for(state, ovf)
         raise RuntimeError("contact capacity growth did not converge")
 
+    def _propose_k(self, k: int, remaining: int) -> int:
+        """Walk the K ladder toward the cheapest measured seconds/step;
+        explore an unmeasured neighbor when adjacent to the current best."""
+        ladder = [x for x in self.K_LADDER
+                  if remaining >= 2 * self.fuse * x]
+        if k not in ladder:
+            return k
+        i = ladder.index(k)
+        neighbors = [j for j in (i - 1, i + 1) if 0 <= j < len(ladder)]
+        for j in neighbors:  # explore unmeasured neighbors first
+            if ladder[j] not in self._k_perf:
+                return ladder[j]
+        best = min(
+            (v, kk) for kk, v in self._k_perf.items() if kk in ladder
+        )[1]
+        if best == k:
+            return k
+        return ladder[i + (1 if best > k else -1)]
+
     def advance(self, state: SimState, params: RuntimeParams,
                 n_steps: int, update_freq: int) -> SimState:
         """The DoDynamics hot loop: refresh every `update_freq` steps.
 
         Full spans run through the fused multi-chunk program (`run_chunks`,
         one device dispatch per `fuse` chunks, overflow checked after with
-        rewind-and-grow); the remainder uses the per-chunk path.
+        rewind-and-grow); the remainder uses the per-chunk path. With
+        `auto_freq` the CD cadence K is tuned between superchunks from
+        measured wall time (margins track K through the traced max_drift,
+        so retunes don't recompile; each distinct K does compile once).
         """
+        import time as _time
+
+        auto = self.auto_freq
+        k = (self.active_freq if auto and self.active_freq else
+             update_freq)
         done = 0
         blocks = 0
-        while n_steps - done >= self.fuse * update_freq:
-            fn = self._chunks_fn(self.fuse, update_freq, state, params)
+        while n_steps - done >= self.fuse * k:
+            params_k = params.replace(max_drift=jnp.asarray(k, I))
+            compile_hit = (self.fuse, k) not in self._chunks_cache
+            if compile_hit:
+                self.timers["compiles"] += 1
+            fn = self._chunks_fn(self.fuse, k, state, params_k)
             prev = state
-            new = fn(state, params)
-            ovf = int(new.overflow)
+            t0 = _time.perf_counter()
+            new = fn(state, params_k)
+            ovf = int(new.overflow)  # device sync point
+            dt = _time.perf_counter() - t0
             if ovf & _CAP_OVF:
                 state = self.grow_for(prev, ovf)
                 continue  # rewind: retry the same span with grown tables
             self._check_vel(new, ovf)
             state = new
-            done += self.fuse * update_freq
+            done += self.fuse * k
             blocks += 1
+            self.timers["fused_s"] += dt
+            self.timers["fused_steps"] += self.fuse * k
+            if not compile_hit:
+                per = dt / (self.fuse * k)
+                old = self._k_perf.get(k)
+                self._k_perf[k] = per if old is None else (
+                    0.5 * old + 0.5 * per
+                )
+                if auto and blocks % 2 == 0:
+                    k = self._propose_k(k, n_steps - done)
+                    self.active_freq = k
             if blocks in (1, 64) or blocks % 512 == 0:
                 state = self.maybe_shrink(state)
         while done < n_steps:
-            k = min(update_freq, n_steps - done)
-            state = self.refresh(state, params)
-            state = self._steps_fn(k, state, params)(state, params)
-            done += k
+            kk = min(k, n_steps - done)
+            params_k = params.replace(max_drift=jnp.asarray(kk, I))
+            t0 = _time.perf_counter()
+            state = self.refresh(state, params_k)
+            self.timers["refresh_s"] += _time.perf_counter() - t0
+            self.timers["refresh_n"] += 1
+            t0 = _time.perf_counter()
+            state = self._steps_fn(kk, state, params_k)(state, params_k)
+            self.timers["steps_s"] += _time.perf_counter() - t0
+            self.timers["steps_n"] += kk
+            done += kk
         return state
 
     @staticmethod

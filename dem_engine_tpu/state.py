@@ -138,6 +138,10 @@ class Analyticals:
 # ---------------------------------------------------------------------------
 
 
+# width of the packed per-contact static record (see forces.build_statics)
+STATIC_W = 32
+
+
 @pytree_dataclass
 class ContactTable:
     """Fixed-capacity padded contact-pair table for one contact class.
@@ -145,7 +149,13 @@ class ContactTable:
     Equivalent of kT's pair arrays + dT's per-contact force/history arrays
     (kT.h:172-201, dT.h:202-228), with DEME's dynamic resize replaced by
     capacity + overflow-flag + host growth.
-    Padding entries have ``idA == -1``.
+
+    Invariants after a refresh (forces.finalize_table):
+      * padding entries have ``idA == -1`` and sit at the END;
+      * rows are SORTED by ``own_a`` (so the A-side wrench reduction is a
+        sorted segment sum and A-side owner gathers are windowed);
+      * ``perm_b`` permutes rows into own_b-sorted order and
+        ``own_b_sorted`` = own_b[perm_b] with dead rows mapped to n_owners.
     """
 
     idA: jnp.ndarray       # i32[C] sphere geometry id
@@ -156,9 +166,12 @@ class ContactTable:
     torque: jnp.ndarray    # f32[C,3] last torque-only force (global frame)
     cpoint: jnp.ndarray    # f32[C,3] last contact point rel owner A CoM
     wildcards: Dict[str, jnp.ndarray]  # each f32[C]
-    plan_a: jnp.ndarray    # i32[N*D] combined gather reduction plan or [0]
-    plan_b: jnp.ndarray    # reserved (empty)
-    static_rec: jnp.ndarray  # f32[C,20] denormalized per-contact statics
+    own_a: jnp.ndarray     # i32[C] owner of the A geometry (-1 dead)
+    own_b: jnp.ndarray     # i32[C] owner of the B geometry (-1 dead)
+    perm_b: jnp.ndarray    # i32[C] row permutation sorting by own_b
+    own_b_sorted: jnp.ndarray  # i32[C] own_b[perm_b]; dead -> n_owners
+    statics: jnp.ndarray   # f32[C,STATIC_W] denormalized per-contact statics
+    premix: Dict[str, jnp.ndarray]  # premixed material props, each f32[C]
 
     @property
     def cap(self) -> int:
@@ -166,7 +179,7 @@ class ContactTable:
 
     @staticmethod
     def empty(cap: int, wildcard_names: Tuple[str, ...] = (),
-              plan_size: int = 0) -> "ContactTable":
+              premix_names: Tuple[str, ...] = ()) -> "ContactTable":
         return ContactTable(
             idA=jnp.full((cap,), -1, I),
             idB=jnp.full((cap,), -1, I),
@@ -176,53 +189,59 @@ class ContactTable:
             torque=jnp.zeros((cap, 3), F),
             cpoint=jnp.zeros((cap, 3), F),
             wildcards={k: jnp.zeros((cap,), F) for k in wildcard_names},
-            plan_a=jnp.full((plan_size,), 2 * cap, I),
-            plan_b=jnp.zeros((0,), I),
-            static_rec=jnp.zeros((cap, 20), F),
+            own_a=jnp.full((cap,), -1, I),
+            own_b=jnp.full((cap,), -1, I),
+            perm_b=jnp.arange(cap, dtype=I),
+            own_b_sorted=jnp.full((cap,), 2**30, I),
+            statics=jnp.zeros((cap, STATIC_W), F),
+            premix={k: jnp.zeros((cap,), F) for k in premix_names},
         )
 
-    def shrunk(self, new_cap: int) -> "ContactTable":
-        """Host-side capacity shrink. Safe because live entries are always
-        compacted to the front of the table."""
-        assert new_cap <= self.cap
-        sl = lambda x: x[:new_cap]
+    def _resized(self, new_cap: int) -> "ContactTable":
+        cap = self.cap
+        if new_cap <= cap:
+            sl = lambda x: x[:new_cap]
+        else:
+            pad = new_cap - cap
+
+            def sl(x, fill=0):
+                return jnp.concatenate(
+                    [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)],
+                    axis=0,
+                )
+
+        def sl_fill(x, fill):
+            return x[:new_cap] if new_cap <= cap else sl(x, fill)
+
         return ContactTable(
-            idA=sl(self.idA),
-            idB=sl(self.idB),
+            idA=sl_fill(self.idA, -1),
+            idB=sl_fill(self.idB, -1),
             count=jnp.minimum(self.count, new_cap),
             persist=sl(self.persist),
             force=sl(self.force),
             torque=sl(self.torque),
             cpoint=sl(self.cpoint),
             wildcards={k: sl(v) for k, v in self.wildcards.items()},
-            plan_a=self.plan_a,  # stale; rebuilt by the next refresh
-            plan_b=self.plan_b,
-            static_rec=sl(self.static_rec),
+            own_a=sl_fill(self.own_a, -1),
+            own_b=sl_fill(self.own_b, -1),
+            # perm/own_b_sorted are stale after resize; the next refresh's
+            # finalize_table rebuilds them before any step consumes them
+            perm_b=jnp.arange(new_cap, dtype=I),
+            own_b_sorted=jnp.full((new_cap,), 2**30, I),
+            statics=sl(self.statics),
+            premix={k: sl(v) for k, v in self.premix.items()},
         )
+
+    def shrunk(self, new_cap: int) -> "ContactTable":
+        """Host-side capacity shrink. Safe because live entries are always
+        compacted to the front of the table."""
+        assert new_cap <= self.cap
+        return self._resized(new_cap)
 
     def grown(self, new_cap: int) -> "ContactTable":
         """Host-side capacity growth (the resize path of DEME kT.cpp:21-41)."""
-        pad = new_cap - self.cap
-        assert pad >= 0
-
-        def padded(x, fill=0):
-            return jnp.concatenate(
-                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
-            )
-
-        return ContactTable(
-            idA=padded(self.idA, -1),
-            idB=padded(self.idB, -1),
-            count=self.count,
-            persist=padded(self.persist),
-            force=padded(self.force),
-            torque=padded(self.torque),
-            cpoint=padded(self.cpoint),
-            wildcards={k: padded(v) for k, v in self.wildcards.items()},
-            plan_a=self.plan_a,  # stale; rebuilt by the next refresh
-            plan_b=self.plan_b,
-            static_rec=padded(self.static_rec),
-        )
+        assert new_cap >= self.cap
+        return self._resized(new_cap)
 
 
 # Overflow bit flags (surfaced to host between chunks; the reference instead
@@ -234,7 +253,7 @@ OVF_BIN_OCC = 8
 OVF_ROW_CAP = 16
 OVF_TRI_BINS = 32
 OVF_VEL = 64        # max system velocity above error-out threshold
-OVF_PLAN = 128      # reduction-plan depth exceeded
+OVF_ST_OCC = 128    # bin occupancy exceeds the ST sweep's slot scan
 OVF_AVG_CONTACTS = 256  # avg contacts/sphere above error-out threshold
 OVF_PALLAS_WIN = 512    # pallas sweep slab window exceeded
 
@@ -303,18 +322,21 @@ class SolverConfig:
     cap_ss: int = 64
     cap_st: int = 16
     cap_sa: int = 16
-    max_per_bin: int = 16               # bin occupancy cap (spheres)
+    max_per_bin: int = 16               # bin occupancy cap (XLA sweep / ST)
     max_tri_per_bin: int = 32
-    max_row_cand: int = 16              # per-sphere contact candidate cap
     max_tri_span: int = 4               # bins per axis a triangle may cover
     cd_chunk: int = 0                   # 0 = no chunking of the CD sweep
-    plan_d: int = 32                    # per-owner contact depth (gather plan)
     use_pallas_sweep: bool = False      # Pallas CD sweep kernel (TPU)
     pallas_win: int = 1024              # sweep slab window size
     prescriptions: Tuple[Any, ...] = ()  # prescriptions.FamilyPrescription
     family_changes: Tuple[Any, ...] = ()
     use_persistency: bool = False
-    reduce_mode: str = "scatter"        # owner wrench reduction: "scatter" | "gather" (gather wins on TPU)
+    # owner wrench reduction: "scatter" (CPU / sharded) or "segment"
+    # (sorted segment-sums over the owner-sorted table; wins on TPU)
+    reduce_mode: str = "scatter"
+    # skip the SS family post-filter when the family mask is all-true over
+    # sphere-capable families (the common case; saves refresh gathers)
+    ss_family_filter: bool = True
 
     def __hash__(self):
         return hash(
@@ -327,15 +349,14 @@ class SolverConfig:
                 self.cap_sa,
                 self.max_per_bin,
                 self.max_tri_per_bin,
-                self.max_row_cand,
                 self.max_tri_span,
                 self.cd_chunk,
-                self.plan_d,
                 self.use_pallas_sweep,
                 self.pallas_win,
                 tuple(id(p) for p in self.prescriptions),
                 tuple(id(c) for c in self.family_changes),
                 self.use_persistency,
                 self.reduce_mode,
+                self.ss_family_filter,
             )
         )

@@ -163,8 +163,8 @@ def test_plane_bounce_restitution():
     np.testing.assert_allclose(v_bounce, cor * v_impact, rtol=0.1)
 
 
-def test_head_on_restitution_gather_reduce():
-    """Same golden test through the gather-plan reduction path."""
+def test_head_on_restitution_segment_reduce():
+    """Same golden test through the sorted-segment reduction path."""
     cor = 0.8
     from dem_engine_tpu.state import SolverConfig
 
@@ -174,7 +174,7 @@ def test_head_on_restitution_gather_reduce():
         integrator=TimeIntegrator.CENTERED_DIFFERENCE,
         force_model=model,
         cap_ss=16, cap_sa=8, cap_st=8,
-        reduce_mode="gather", plan_d=8,
+        reduce_mode="segment",
     )
     mass = RHO * 4 / 3 * np.pi * R**3
     moi = 2 / 5 * mass * R**2
