@@ -13,7 +13,8 @@ from .defines import (  # noqa: F401
     TimeIntegrator,
     Verbosity,
 )
-from .api import DEMInspector, DEMSolver, DEMTracker  # noqa: F401
+from .api import (BoxRegion, DEMInspector, DEMSolver, DEMTracker,  # noqa: F401
+                  SphereRegion)
 from .models import (  # noqa: F401
     ContactContext,
     FamilyChange,

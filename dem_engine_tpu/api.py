@@ -25,6 +25,7 @@ Typical use (mirrors the reference demos):
 from __future__ import annotations
 
 import time as _time
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Union
 
 import jax
@@ -259,6 +260,35 @@ class DEMInspector:
         self.region = region
 
     def GetValue(self) -> float:
+        """Device-side jitted reduction: only ONE scalar crosses to the
+        host per query (the reference jits query kernels + CUB reduces,
+        DEMSphereQueryKernels.cu / dT.cpp:2556; host-numpy readback would
+        be unusable at 1M spheres on this backend)."""
+        s = self._s
+        region = self.region
+        if region is None:
+            kind = "none"
+            a = jnp.zeros((3,), F)
+            b = jnp.zeros((3,), F)
+        elif isinstance(region, BoxRegion):
+            kind = "box"
+            a = jnp.asarray(region.lo - s._lbf, F)
+            b = jnp.asarray(region.hi - s._lbf, F)
+        elif isinstance(region, SphereRegion):
+            kind = "sphere"
+            a = jnp.asarray(region.center - s._lbf, F)
+            b = jnp.asarray([region.radius, 0.0, 0.0], F)
+        else:  # arbitrary host callable: host fallback
+            return self._host_value()
+        fn = s._inspector_fn(self.quantity, kind)
+        val = float(fn(s.state, a, b, s._volume_dev()))
+        q = self.quantity
+        if q.startswith(("clump_max_", "clump_min_")) and q[-1] in _AXIS_IDX:
+            val += float(s._lbf[_AXIS_IDX[q[-1]]])  # back to user frame
+        return val
+
+    def _host_value(self) -> float:
+        """Host fallback for user-supplied region callables."""
         s = self._s
         st = s.state
         q = self.quantity
@@ -269,9 +299,7 @@ class DEMInspector:
             np.float64,
         ) + s._lbf
         own = np.asarray(st.spheres.owner)
-        mask = np.ones(sph_pos.shape[0], bool)
-        if self.region is not None:
-            mask = np.asarray(self.region(sph_pos))
+        mask = np.asarray(self.region(sph_pos))
         if q.startswith("clump_max_") and q[-1] in self._AXIS:
             ax = self._AXIS[q[-1]]
             r = np.asarray(st.spheres.radius)
@@ -280,8 +308,6 @@ class DEMInspector:
             ax = self._AXIS[q[-1]]
             r = np.asarray(st.spheres.radius)
             return float((sph_pos[mask, ax] - r[mask]).min())
-        # owner-level quantities
-
         vel = np.asarray(st.owners.vel, np.float64)
         omg = np.asarray(st.owners.omg, np.float64)
         m = np.asarray(st.owners.mass, np.float64)
@@ -314,6 +340,54 @@ def _sphere_world(owners, spheres, voxel_size):
     return sphere_world_pos(owners, spheres, voxel_size)
 
 
+_AXIS_IDX = {"x": 0, "y": 1, "z": 2}
+
+
+def _inspect_device(state, a, b, vol, *, q, kind, n_clump, voxel_size):
+    """Jitted inspector reduction (device-side DEMInspector backend;
+    reference AuxClasses.cpp:88-157 + DEMSphereQueryKernels.cu). Returns
+    one f32 scalar. Region params a/b are traced: moving regions don't
+    recompile."""
+    owners, spheres = state.owners, state.spheres
+    pos = _sphere_world(owners, spheres, voxel_size)
+    if kind == "box":
+        m = jnp.all((pos >= a[None, :]) & (pos <= b[None, :]), axis=1)
+    elif kind == "sphere":
+        m = jnp.linalg.norm(pos - a[None, :], axis=1) <= b[0]
+    else:
+        m = jnp.ones((pos.shape[0],), bool)
+
+    if q.startswith(("clump_max_", "clump_min_")) and q[-1] in _AXIS_IDX:
+        ax = _AXIS_IDX[q[-1]]
+        if q.startswith("clump_max_"):
+            v = pos[:, ax] + spheres.radius
+            return jnp.where(m, v, -jnp.inf).max()
+        v = pos[:, ax] - spheres.radius
+        return jnp.where(m, v, jnp.inf).min()
+
+    n = owners.n
+    omask = jnp.zeros((n,), bool).at[spheres.owner].max(m, mode="drop")
+    omask &= owners.family != RESERVED_FAMILY
+    omask &= jnp.arange(n) < n_clump
+    absv = jnp.linalg.norm(owners.vel, axis=1)
+    if q in ("clump_max_absv", "max_absv"):
+        return jnp.where(omask, absv, -jnp.inf).max()
+    if q in ("clump_absv", "absv"):
+        return (jnp.where(omask, absv, 0.0).sum()
+                / jnp.maximum(omask.sum(), 1))
+    if q == "clump_kinetic_energy":
+        ke = 0.5 * owners.mass * jnp.sum(owners.vel ** 2, axis=1)
+        re = 0.5 * jnp.sum(owners.moi * owners.omg ** 2, axis=1)
+        return jnp.where(omask, ke + re, 0.0).sum()
+    if q == "clump_mass":
+        return jnp.where(omask, owners.mass, 0.0).sum()
+    if q == "clump_volume":
+        return jnp.where(omask, vol, 0.0).sum()
+    if q == "clump_count":
+        return omask.sum().astype(F)
+    raise ValueError(f"unknown inspector quantity {q!r}")
+
+
 class DEMSolver:
     """TPU-native solver facade with the reference's method surface."""
 
@@ -344,6 +418,7 @@ class DEMSolver:
         self._family_persist = np.zeros((NUM_FAMILIES, NUM_FAMILIES), bool)
         self._family_extra_margin = np.zeros(NUM_FAMILIES, np.float32)
         self._no_output_families: set = set()
+        self._next_step_acc: list = []
         self._force_model: ForceModel = HertzianForceModel()
         self._extra_contact_wildcards: tuple = ()
         self._bounding_bc = "none"
@@ -634,9 +709,14 @@ class DEMSolver:
             ]
             return jnp.stack([jnp.asarray(v, F) for v in vals])
 
-        self._merge_presc(
-            FamilyPrescription(family=family, lin_vel=fn, lin_vel_mask=mask)
-        )
+        if dictate:
+            self._merge_presc(FamilyPrescription(
+                family=family, lin_vel=fn, lin_vel_mask=mask))
+        else:
+            # non-dictating flavor: assigned, then physics integrates on
+            # top (reference DEMIntegrationKernels.cu:95-236)
+            self._merge_presc(FamilyPrescription(
+                family=family, lin_vel_soft=fn, lin_vel_soft_mask=mask))
 
     def SetFamilyPrescribedAngVel(self, family: int, wx=None, wy=None,
                                   wz=None, dictate: bool = True):
@@ -650,9 +730,12 @@ class DEMSolver:
             ]
             return jnp.stack([jnp.asarray(v, F) for v in vals])
 
-        self._merge_presc(
-            FamilyPrescription(family=family, rot_vel=fn, rot_vel_mask=mask)
-        )
+        if dictate:
+            self._merge_presc(FamilyPrescription(
+                family=family, rot_vel=fn, rot_vel_mask=mask))
+        else:
+            self._merge_presc(FamilyPrescription(
+                family=family, rot_vel_soft=fn, rot_vel_soft_mask=mask))
 
     def SetFamilyPrescribedPosition(self, family: int, x=None, y=None,
                                     z=None):
@@ -676,6 +759,93 @@ class DEMSolver:
     def SetFamilyPrescribedQuaternion(self, family: int, q_fn):
         q = q_fn if callable(q_fn) else (lambda t: jnp.asarray(q_fn, F))
         self._merge_presc(FamilyPrescription(family=family, quat=q))
+
+    def _vec_fn(self, comps):
+        def fn(t):
+            vals = [(c(t) if callable(c) else c) or 0.0 for c in comps]
+            return jnp.stack([jnp.asarray(v, F) for v in vals])
+        return fn
+
+    def CorrectFamilyLinVel(self, family: int, vx=0.0, vy=0.0, vz=0.0):
+        """Velocity correction: assigned each step, with the simulation
+        physics still integrating on top (reference API.h:806-815; codegen
+        emits `vX = expr` with the Prescribed flag false)."""
+        self._merge_presc(FamilyPrescription(
+            family=family, lin_vel_soft=self._vec_fn((vx, vy, vz))))
+
+    def CorrectFamilyAngVel(self, family: int, wx=0.0, wy=0.0, wz=0.0):
+        """Angular-velocity correction, body frame (API.h:816-824)."""
+        self._merge_presc(FamilyPrescription(
+            family=family, rot_vel_soft=self._vec_fn((wx, wy, wz))))
+
+    def CorrectFamilyPosition(self, family: int, x=0.0, y=0.0, z=0.0):
+        """Position correction: the base position is re-seated to the
+        given user-frame value before the step's displacement is applied
+        (reference API.h:826-834)."""
+        lbf = self._lbf
+        comps = (x, y, z)
+
+        def fn(t):
+            vals = [(c(t) if callable(c) else c) or 0.0 for c in comps]
+            return jnp.stack(
+                [jnp.asarray(v, F) - lbf[i] for i, v in enumerate(vals)]
+            )
+
+        self._merge_presc(FamilyPrescription(
+            family=family, lin_pos_soft=fn))
+
+    def CorrectFamilyQuaternion(self, family: int, q_fn):
+        """Orientation correction: the base quaternion is re-seated before
+        the step's rotation is integrated (reference API.h:835-838)."""
+        q = q_fn if callable(q_fn) else (lambda t: jnp.asarray(q_fn, F))
+        self._merge_presc(FamilyPrescription(family=family, quat_soft=q))
+
+    def AddOwnerNextStepAcc(self, owner_ids, acc):
+        """Extra linear acceleration applied to the named owners for the
+        NEXT time step only (reference API.h:455-460); cleared after the
+        next stepping call's first step."""
+        assert self._initialized
+        ids = np.asarray(owner_ids).reshape(-1)
+        owners = self.state.owners
+        arr = owners.ext_acc.at[jnp.asarray(ids)].add(
+            jnp.asarray(np.broadcast_to(np.asarray(acc, np.float32),
+                                        (len(ids), 3))))
+        self.state = self.state.replace(
+            owners=owners.replace(ext_acc=arr))
+        self._next_step_acc.append(("ext_acc", ids, np.asarray(acc,
+                                                               np.float32)))
+
+    def AddOwnerNextStepAngAcc(self, owner_ids, ang_acc):
+        """Extra body-frame angular acceleration for the next step only."""
+        assert self._initialized
+        ids = np.asarray(owner_ids).reshape(-1)
+        owners = self.state.owners
+        arr = owners.ext_ang_acc.at[jnp.asarray(ids)].add(
+            jnp.asarray(np.broadcast_to(np.asarray(ang_acc, np.float32),
+                                        (len(ids), 3))))
+        self.state = self.state.replace(
+            owners=owners.replace(ext_ang_acc=arr))
+        self._next_step_acc.append(
+            ("ext_ang_acc", ids, np.asarray(ang_acc, np.float32)))
+
+    def _clear_next_step_acc(self):
+        for field, ids, val in self._next_step_acc:
+            owners = self.state.owners
+            arr = getattr(owners, field).at[jnp.asarray(ids)].add(
+                -jnp.asarray(np.broadcast_to(val, (len(ids), 3))))
+            self.state = self.state.replace(
+                owners=owners.replace(**{field: arr}))
+        self._next_step_acc = []
+
+    def ChangeClumpFamily(self, to_family: int, owner_ids=None, IDs=None):
+        """Re-family specific clump owners mid-sim (reference
+        ChangeClumpFamily, API.h:1035-1043)."""
+        assert self._initialized
+        ids = owner_ids if owner_ids is not None else IDs
+        ids = np.asarray(ids).reshape(-1)
+        owners = self.state.owners
+        fam = owners.family.at[jnp.asarray(ids)].set(int(to_family))
+        self.state = self.state.replace(owners=owners.replace(family=fam))
 
     def AddFamilyPrescribedAcc(self, family: int, ax=0.0, ay=0.0, az=0.0):
         comps = (ax, ay, az)
@@ -768,6 +938,30 @@ class DEMSolver:
             raise TypeError(f"cannot track {type(obj)}")
         return DEMTracker(self, ids, obj)
 
+    def _volume_dev(self):
+        key = (len(self._owner_volume), int(self.state.owners.n))
+        if getattr(self, "_vol_dev_key", None) != key:
+            vol = np.zeros(int(self.state.owners.n), np.float32)
+            m = min(len(self._owner_volume), len(vol))
+            vol[:m] = self._owner_volume[:m]
+            self._vol_dev = jnp.asarray(vol)
+            self._vol_dev_key = key
+        return self._vol_dev
+
+    def _inspector_fn(self, q, kind):
+        key = (q, kind, self._n_clump_owners, self._voxel_size)
+        cache = getattr(self, "_inspector_cache", None)
+        if cache is None:
+            cache = self._inspector_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(partial(
+                _inspect_device, q=q, kind=kind,
+                n_clump=self._n_clump_owners, voxel_size=self._voxel_size,
+            ))
+            cache[key] = fn
+        return fn
+
     def CreateInspector(self, quantity: str, region=None) -> DEMInspector:
         return DEMInspector(self, quantity, region)
 
@@ -814,6 +1008,54 @@ class DEMSolver:
             spheres=spheres.replace(wildcards=wc)
         )
 
+    def SetTriWildcardValue(self, name: str, vals, tri_ids=None):
+        """Triangle-geometry wildcard setter (reference API.h:996-1005)."""
+        tris = self.state.tris
+        wc = dict(tris.wildcards)
+        if tri_ids is None:
+            wc[name] = jnp.broadcast_to(
+                jnp.asarray(vals, F), (tris.n,)).astype(F)
+        else:
+            arr = wc.get(name, jnp.zeros((tris.n,), F))
+            wc[name] = arr.at[jnp.asarray(tri_ids)].set(jnp.asarray(vals, F))
+        self.state = self.state.replace(tris=tris.replace(wildcards=wc))
+
+    def SetAnalWildcardValue(self, name: str, vals, comp_ids=None):
+        """Analytical-geometry wildcard setter (reference API.h:1006-1014)."""
+        anals = self.state.anals
+        wc = dict(anals.wildcards)
+        if comp_ids is None:
+            wc[name] = jnp.broadcast_to(
+                jnp.asarray(vals, F), (anals.n,)).astype(F)
+        else:
+            arr = wc.get(name, jnp.zeros((anals.n,), F))
+            wc[name] = arr.at[jnp.asarray(comp_ids)].set(
+                jnp.asarray(vals, F))
+        self.state = self.state.replace(anals=anals.replace(wildcards=wc))
+
+    def GetTriWildcardValue(self, name: str, ids=None):
+        wc = np.asarray(self.state.tris.wildcards[name])
+        return wc if ids is None else wc[np.asarray(ids)]
+
+    def GetAnalWildcardValue(self, name: str, ids=None):
+        wc = np.asarray(self.state.anals.wildcards[name])
+        return wc if ids is None else wc[np.asarray(ids)]
+
+    def SetFamilyOwnerWildcardValue(self, family: int, name: str,
+                                    val: float):
+        """Owner wildcard set for every owner of a family (reference
+        API.h:955-965)."""
+        owners = self.state.owners
+        wc = dict(owners.wildcards)
+        arr = wc.get(name, jnp.zeros((owners.n,), F))
+        wc[name] = jnp.where(owners.family == family, val, arr)
+        self.state = self.state.replace(owners=owners.replace(wildcards=wc))
+
+    def GetFamilyOwnerWildcardValue(self, family: int, name: str):
+        fam = np.asarray(self.state.owners.family)
+        wc = np.asarray(self.state.owners.wildcards[name])
+        return wc[fam == family]
+
     def ChangeClumpSizes(self, owner_ids, factors):
         """Scale the component spheres (radius + offsets) of the given clump
         owners mid-sim (reference ChangeClumpSizes, API.h:1047,
@@ -837,21 +1079,34 @@ class DEMSolver:
             )
         )
 
-    def SetFamilyContactWildcardValue(self, family: int, name: str,
-                                      val: float):
-        """Set a contact wildcard on live contacts whose A-side family
-        matches (reference SetFamilyContactWildcardValue, API.h:930)."""
+    def _contact_family_sel(self, table, famA, famB=None):
+        """live-contact mask by owner family: either side in famA (famB
+        None) or the pair being exactly (famA, famB)."""
         fam = self.state.owners.family
-        own = self.state.spheres.owner
+        live = table.idA >= 0
+        fa = fam[jnp.maximum(table.own_a, 0)]
+        fb = fam[jnp.maximum(table.own_b, 0)]
+        if famB is None:
+            return live & ((fa == famA) | (fb == famA))
+        return live & (((fa == famA) & (fb == famB))
+                       | ((fa == famB) & (fb == famA)))
+
+    def SetFamilyContactWildcardValue(self, famA: int, *args):
+        """Set a contact wildcard on live contacts by family. Accepts the
+        reference form (N1, N2, name, val) (API.h:925-934) and the
+        single-family form (N, name, val) matching either side."""
+        if len(args) == 3:
+            famB, name, val = args
+        else:
+            name, val = args
+            famB = None
         for tname in ("ss", "st", "sa"):
             table = getattr(self.state, tname)
             if name not in table.wildcards:
                 continue
-            live = table.idA >= 0
-            fa = fam[own[jnp.where(live, table.idA, 0)]]
-            sel = live & (fa == family)
+            sel = self._contact_family_sel(table, famA, famB)
             wc = dict(table.wildcards)
-            wc[name] = jnp.where(sel, val, wc[name])
+            wc[name] = jnp.where(sel, float(val), wc[name])
             self.state = self.state.replace(
                 **{tname: table.replace(wildcards=wc)}
             )
@@ -896,6 +1151,75 @@ class DEMSolver:
                 n = int(t.count)
                 out.append(np.asarray(t.wildcards[name][:n]))
         return np.concatenate(out) if out else np.zeros(0, np.float32)
+
+    def _set_persist(self, value: int, famA=None, famB=None, both=False):
+        """One-time persistency (un)marking of CURRENTLY existing contacts
+        (reference semantics, API.h:880-905: a one-time assignment, not a
+        rule for future contacts)."""
+        assert self._initialized
+        fam = self.state.owners.family
+        for tname in ("ss", "st", "sa"):
+            table = getattr(self.state, tname)
+            live = table.idA >= 0
+            if famA is None:
+                sel = live
+            elif famB is not None:
+                sel = self._contact_family_sel(table, famA, famB)
+            else:
+                fa = fam[jnp.maximum(table.own_a, 0)]
+                fb = fam[jnp.maximum(table.own_b, 0)]
+                if both:
+                    sel = live & (fa == famA) & (fb == famA)
+                else:
+                    sel = live & ((fa == famA) | (fb == famA))
+            self.state = self.state.replace(**{tname: table.replace(
+                persist=jnp.where(sel, value, table.persist))})
+        if value and not self.engine.cfg.use_persistency:
+            import dataclasses as _dc
+
+            self._use_persistency = True
+            self.engine.cfg = _dc.replace(
+                self.engine.cfg, use_persistency=True)
+            self.engine._build()
+
+    def MarkPersistentContact(self):
+        """All currently-existing contacts stay in the table until removed
+        (reference API.h:895-899)."""
+        if self._initialized:
+            self._set_persist(1)
+        else:
+            self._use_persistency = True
+            self._family_persist[:, :] = True
+
+    def MarkFamilyPersistentContactEither(self, family: int):
+        self._set_persist(1, famA=family, both=False)
+
+    def MarkFamilyPersistentContactBoth(self, family: int):
+        self._set_persist(1, famA=family, both=True)
+
+    def RemovePersistentContact(self):
+        if self._initialized:
+            self._set_persist(0)
+        self._family_persist[:, :] = False
+        if self._initialized:
+            self._rebuild_params()
+
+    def RemoveFamilyPersistentContactEither(self, family: int):
+        self._set_persist(0, famA=family, both=False)
+        self._family_persist[family, :] = False
+        self._family_persist[:, family] = False
+        self._rebuild_params()
+
+    def RemoveFamilyPersistentContactBoth(self, family: int):
+        self._set_persist(0, famA=family, both=True)
+        self._family_persist[family, family] = False
+        self._rebuild_params()
+
+    def RemoveFamilyPersistentContact(self, famA: int, famB: int):
+        self._set_persist(0, famA=famA, famB=famB)
+        self._family_persist[famA, famB] = False
+        self._family_persist[famB, famA] = False
+        self._rebuild_params()
 
     def MarkFamilyPersistentContact(self, family: Optional[int] = None):
         """Contacts involving `family` (all families if None) stay in the
@@ -1097,7 +1421,9 @@ class DEMSolver:
 
         cap_ss = max(128, int(5 * n_spheres))
         cap_st = max(64, 4 * tris.n) if tris.n else 8
-        cap_sa = max(64, n_spheres) if anals.n else 8
+        # a sphere can rest against several analytical components at once
+        # (floor + wall corners): size for ~2 contacts/sphere up front
+        cap_sa = max(64, min(2, anals.n) * n_spheres) if anals.n else 8
         # sorted-segment reduction + Pallas sweep win on TPU (scatter-add
         # is ~10x a gather there); scatter wins on CPU where the tests run
         platform = jax.devices()[0].platform
@@ -1238,9 +1564,18 @@ class DEMSolver:
         assert self._initialized, "call Initialize() first"
         n_steps = int(round(duration / self._h))
         t0 = _time.perf_counter()
+        if self._next_step_acc and n_steps > 1:
+            # one-shot next-step accelerations apply to the first step only
+            self.state = self.engine.advance(
+                self.state, self.params, 1, self._update_freq
+            )
+            self._clear_next_step_acc()
+            n_steps -= 1
         self.state = self.engine.advance(
             self.state, self.params, n_steps, self._update_freq
         )
+        if self._next_step_acc:
+            self._clear_next_step_acc()
         jax.block_until_ready(self.state.owners.vox)
         self._timers["total"] += _time.perf_counter() - t0
         self._n_steps_done += n_steps
@@ -1253,6 +1588,8 @@ class DEMSolver:
         self.state = self.engine.advance(
             self.state, self.params, 1, self._update_freq
         )
+        if self._next_step_acc:
+            self._clear_next_step_acc()
         self._n_steps_done += 1
 
     def UpdateSimParams(self):
@@ -1272,7 +1609,7 @@ class DEMSolver:
         n0 = int(st.owners.n)
         s0 = int(st.spheres.n)
         o_pos, o_quat, o_vel, o_omg = [], [], [], []
-        o_fam, o_mass, o_moi = [], [], []
+        o_fam, o_mass, o_moi, vol_new = [], [], [], []
         s_owner, s_rel, s_rad, s_mat = [], [], [], []
         oid = n0
         for b in pending:
@@ -1294,6 +1631,11 @@ class DEMSolver:
                 )
                 o_mass.append(t.mass)
                 o_moi.append(t.moi)
+                vol_new.append(
+                    t.volume if t.volume is not None
+                    else float((4.0 / 3.0 * np.pi
+                                * np.asarray(t.radii) ** 3).sum())
+                )
                 self._owner_template.append(t)
                 s_owner.append(np.full(t.n_comp, oid))
                 s_rel.append(np.asarray(t.relpos))
@@ -1338,7 +1680,7 @@ class DEMSolver:
         # insertion of meshes/analyticals; track count for inspectors
         self._n_clump_owners += oid - n0
         self._owner_volume = np.concatenate(
-            [self._owner_volume, np.zeros(oid - n0)]
+            [self._owner_volume, np.asarray(vol_new)]
         )
         self.engine._build()  # shapes changed; fresh jit caches
 
@@ -1369,14 +1711,18 @@ class DEMSolver:
         return 2.0 * int(self.state.ss.count) / max(self.state.spheres.n, 1)
 
     def GetBinSize(self) -> float:
+        """The actual bin size the next CD pass will use (reference
+        API.h:290-297): derived from the live velocity-dependent margins,
+        exactly as refresh_contacts computes it."""
         from .ops import binning as _b
+        from .solver import sphere_margins
 
-        reach = float(
-            jnp.max(
-                self.state.spheres.radius
-            )
+        margin, _, _ = sphere_margins(
+            self.state.owners, self.state.spheres, self.params
         )
-        return 2.02 * reach
+        reach_max = (self.state.spheres.radius + margin).max()
+        bs, _nb = _b.build_grid(self.params.domain, reach_max)
+        return float(bs)
 
     def GetMaxVelocity(self) -> float:
         return float(self.state.max_vel)
@@ -1466,39 +1812,74 @@ class DEMSolver:
             )
         return out
 
-    def _contact_forces_for_owner(self, owner_id: int):
-        res = []
-        own = np.asarray(self.state.spheres.owner)
-        opos = self.GetOwnerPosition()
-        for tbl_name in ("ss", "st", "sa"):
-            tbl = getattr(self.state, tbl_name)
-            n = int(tbl.count)
-            if n == 0:
+    # device-side owner-filtered contact query (reference
+    # getContactForcesConcerningOwners, DEMDynamicMisc.cu:14): the filter +
+    # compaction run jitted on device; only the selected owner's pairs
+    # (a small fixed-capacity block) cross to the host.
+    _CFQ_CAP = 4096
+
+    @staticmethod
+    @partial(jax.jit, static_argnums=(2,))
+    def _cfq_filter(state, owner_id, cap_out):
+        outs_p = jnp.zeros((cap_out + 1, 3), F)
+        outs_f = jnp.zeros((cap_out + 1, 3), F)
+        total = jnp.zeros((), jnp.int32)
+        oid = owner_id.astype(jnp.int32)
+        for tbl in (state.ss, state.st, state.sa):
+            if tbl.cap == 0:
                 continue
-            idA = np.asarray(tbl.idA[:n])
-            ownA = own[idA]
-            force = np.asarray(tbl.force[:n])
-            point = np.asarray(tbl.cpoint[:n]) + opos[ownA]
-            if tbl_name == "ss":
-                ownB = own[np.asarray(tbl.idB[:n])]
-            elif tbl_name == "st":
-                ownB = np.asarray(self.state.tris.owner)[
-                    np.asarray(tbl.idB[:n])
-                ]
-            else:
-                ownB = np.asarray(self.state.anals.owner)[
-                    np.asarray(tbl.idB[:n])
-                ]
-            selA = ownA == owner_id
-            selB = ownB == owner_id
-            for sel, sign in ((selA, 1.0), (selB, -1.0)):
-                if sel.any():
-                    res.append((point[sel], sign * force[sel]))
-        if not res:
-            return np.zeros((0, 3)), np.zeros((0, 3))
-        pts = np.concatenate([r[0] for r in res])
-        fs = np.concatenate([r[1] for r in res])
-        return pts, fs
+            live = tbl.idA >= 0
+            for own_col, sign in ((tbl.own_a, 1.0), (tbl.own_b, -1.0)):
+                sel = live & (own_col == oid)
+                csum = jnp.cumsum(sel.astype(jnp.int32))
+                dest = jnp.where(sel, total + csum - 1, cap_out)
+                dest = jnp.minimum(dest, cap_out)
+                # contact point rel owner-A CoM -> rel queried owner frame
+                # is resolved on host; store cpoint + A-owner id instead
+                pt = tbl.cpoint
+                outs_p = outs_p.at[dest].set(
+                    jnp.where(sel[:, None], pt, 0.0), mode="drop")
+                outs_f = outs_f.at[dest].set(
+                    jnp.where(sel[:, None], sign * tbl.force, 0.0),
+                    mode="drop")
+                total = total + (csum[-1] if sel.size else 0)
+        return outs_p[:cap_out], outs_f[:cap_out], total
+
+    @staticmethod
+    @partial(jax.jit, static_argnums=(2,))
+    def _cfq_owner_a(state, owner_id, cap_out):
+        outs = jnp.zeros((cap_out + 1,), jnp.int32)
+        total = jnp.zeros((), jnp.int32)
+        oid = owner_id.astype(jnp.int32)
+        for tbl in (state.ss, state.st, state.sa):
+            if tbl.cap == 0:
+                continue
+            live = tbl.idA >= 0
+            for own_col in (tbl.own_a, tbl.own_b):
+                sel = live & (own_col == oid)
+                csum = jnp.cumsum(sel.astype(jnp.int32))
+                dest = jnp.where(sel, total + csum - 1, cap_out)
+                dest = jnp.minimum(dest, cap_out)
+                outs = outs.at[dest].set(
+                    jnp.where(sel, tbl.own_a, 0), mode="drop")
+                total = total + (csum[-1] if sel.size else 0)
+        return outs[:cap_out], total
+
+    def _contact_forces_for_owner(self, owner_id: int):
+        cap = self._CFQ_CAP
+        oid = jnp.asarray(owner_id, jnp.int32)
+        while True:
+            pts, fs, total = self._cfq_filter(self.state, oid, cap)
+            owna, _ = self._cfq_owner_a(self.state, oid, cap)
+            n = int(total)
+            if n <= cap:
+                break
+            cap = int(1.5 * n) + 64
+        pts = np.asarray(pts[:n], np.float64)
+        fs = np.asarray(fs[:n], np.float64)
+        owna = np.asarray(owna[:n])
+        opos = self.GetOwnerPosition()
+        return pts + opos[owna], fs
 
     # ------------------------------------------------------------------
     # output (reference API.h:1095-1122)
@@ -1519,10 +1900,22 @@ class DEMSolver:
         pos = self._sphere_world_host()
         own = np.asarray(st.spheres.owner)
         absv = np.linalg.norm(np.asarray(st.owners.vel), axis=1)[own]
+        fams = np.asarray(st.owners.family)[own]
+        keep = self._output_mask(fams)
         io_utils.write_spheres_csv(
-            path, pos, np.asarray(st.spheres.radius), owner=own, absv=absv,
-            family=np.asarray(st.owners.family)[own],
+            path, pos[keep], np.asarray(st.spheres.radius)[keep],
+            owner=own[keep], absv=absv[keep], family=fams[keep],
         )
+
+    def DisableFamilyOutput(self, family: int):
+        """Exclude a family from clump/sphere file output (reference
+        API.h:684-686)."""
+        self._no_output_families.add(int(family))
+
+    def _output_mask(self, fams):
+        if not self._no_output_families:
+            return np.ones(len(fams), bool)
+        return ~np.isin(fams, sorted(self._no_output_families))
 
     def WriteClumpFile(self, path):
         st = self.state
@@ -1547,13 +1940,15 @@ class DEMSolver:
         for name in self._force_model.owner_wildcards:
             if oc & OC.OWNER_WILDCARD:
                 extra[name] = np.asarray(st.owners.wildcards[name])[:nc]
+        fams = np.asarray(st.owners.family)[:nc]
+        keep = self._output_mask(fams)
         io_utils.write_clumps_csv(
-            path, pos, np.asarray(st.owners.quat)[:nc],
-            vel=np.asarray(st.owners.vel)[:nc],
-            ang_vel=np.asarray(st.owners.omg)[:nc],
-            family=np.asarray(st.owners.family)[:nc],
-            clump_type=np.asarray(names),
-            extra=extra,
+            path, pos[keep], np.asarray(st.owners.quat)[:nc][keep],
+            vel=np.asarray(st.owners.vel)[:nc][keep],
+            ang_vel=np.asarray(st.owners.omg)[:nc][keep],
+            family=fams[keep],
+            clump_type=np.asarray(names)[keep],
+            extra={k: np.asarray(v)[keep] for k, v in extra.items()},
         )
 
     def WriteContactFile(self, path, force_thres: float = -1.0):
@@ -1584,6 +1979,81 @@ class DEMSolver:
             torque=np.concatenate(tqs),
             wildcards={k: np.concatenate(v) for k, v in wc_all.items()},
         )
+
+    def WriteContactFileIncludingPotentialPairs(self, path):
+        """Contact file including candidate pairs within the CD margin that
+        carry no force yet (reference API.h:1104-1112) — i.e., the full
+        live table without a force threshold."""
+        self.WriteContactFile(path, force_thres=-1.0)
+
+    def GetOwnerContactClumps(self, owner_id: int):
+        """Clump owner ids currently in contact with `owner_id` (reference
+        GetOwnerContactClumps, API.h:500-520)."""
+        out = []
+        for tname in ("ss", "st", "sa"):
+            t = getattr(self.state, tname)
+            n = int(t.count)
+            if n == 0:
+                continue
+            oa = np.asarray(t.own_a[:n])
+            ob = np.asarray(t.own_b[:n])
+            out.append(ob[oa == owner_id])
+            out.append(oa[ob == owner_id])
+        if not out:
+            return np.zeros(0, np.int64)
+        ids = np.unique(np.concatenate(out))
+        return ids[(ids >= 0) & (ids < self._n_clump_owners)]
+
+    def PurgeFamily(self, family: int):
+        """Remove all clumps of a family from the simulation (reference
+        PurgeFamily, API.h:678-683). Shapes change, so step functions
+        recompile — same cost profile as the reference's array rebuild."""
+        assert self._initialized
+        st = self.state
+        fam = np.asarray(st.owners.family)
+        nc = self._n_clump_owners
+        kill = (fam == family) & (np.arange(len(fam)) < nc)
+        if not kill.any():
+            return
+        keep = ~kill
+        # owner remap
+        new_id = np.cumsum(keep) - 1
+        owners = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a)[keep]), st.owners
+        )
+        s_own = np.asarray(st.spheres.owner)
+        s_keep = keep[s_own]
+        spheres = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a)[s_keep]), st.spheres
+        )
+        spheres = spheres.replace(
+            owner=jnp.asarray(new_id[s_own[s_keep]], I))
+        tris = st.tris
+        if tris.n:
+            tris = tris.replace(
+                owner=jnp.asarray(new_id[np.asarray(tris.owner)], I))
+        anals = st.anals
+        if anals.n:
+            anals = anals.replace(
+                owner=jnp.asarray(new_id[np.asarray(anals.owner)], I))
+        # contact tables are rebuilt by the next refresh; clear them
+        from .initializer import make_state
+
+        cfg = self.engine.cfg
+        self.state = make_state(
+            owners, spheres, cfg, tris=tris, anals=anals
+        ).replace(time=st.time, step=st.step)
+        removed = int(kill.sum())
+        self._n_clump_owners -= removed
+        self._owner_volume = self._owner_volume[keep[: len(
+            self._owner_volume)]]
+        self._owner_template = [
+            t for t, k in zip(self._owner_template, keep) if k
+        ]
+        for tr in getattr(self, "_pending_trackers", []):
+            tr.owner_ids = np.asarray(
+                [new_id[i] for i in tr.owner_ids if keep[i]], np.int64)
+        self.engine._build()
 
     def WriteMeshFile(self, path):
         verts, faces = [], []

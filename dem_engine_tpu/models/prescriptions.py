@@ -44,6 +44,18 @@ class FamilyPrescription:
     quat: Optional[QuatFn] = None
     acc: Optional[Vec3Fn] = None              # added linear acceleration
     ang_acc: Optional[Vec3Fn] = None          # added angular acc, body frame
+    # "soft" (non-dictating) prescriptions: ASSIGNED each step, then the
+    # simulation physics integrates on top — exactly the reference's
+    # dictate=false / CorrectFamily* codegen, which emits `vX = expr;`
+    # with the Prescribed flag left false so `vX += (a+g)h` still runs
+    # (APIPrivate.cpp:1615-1641 + DEMIntegrationKernels.cu:95-236)
+    lin_vel_soft: Optional[Vec3Fn] = None
+    lin_vel_soft_mask: Tuple[bool, bool, bool] = (True, True, True)
+    rot_vel_soft: Optional[Vec3Fn] = None     # body frame
+    rot_vel_soft_mask: Tuple[bool, bool, bool] = (True, True, True)
+    lin_pos_soft: Optional[Vec3Fn] = None     # absolute, user frame
+    lin_pos_soft_mask: Tuple[bool, bool, bool] = (True, True, True)
+    quat_soft: Optional[QuatFn] = None
 
     def __hash__(self):
         return id(self)
@@ -71,6 +83,16 @@ def merge(a: FamilyPrescription, b: FamilyPrescription) -> FamilyPrescription:
         quat=b.quat or a.quat,
         acc=b.acc or a.acc,
         ang_acc=b.ang_acc or a.ang_acc,
+        lin_vel_soft=b.lin_vel_soft or a.lin_vel_soft,
+        lin_vel_soft_mask=(b.lin_vel_soft_mask if b.lin_vel_soft
+                           else a.lin_vel_soft_mask),
+        rot_vel_soft=b.rot_vel_soft or a.rot_vel_soft,
+        rot_vel_soft_mask=(b.rot_vel_soft_mask if b.rot_vel_soft
+                           else a.rot_vel_soft_mask),
+        lin_pos_soft=b.lin_pos_soft or a.lin_pos_soft,
+        lin_pos_soft_mask=(b.lin_pos_soft_mask if b.lin_pos_soft
+                           else a.lin_pos_soft_mask),
+        quat_soft=b.quat_soft or a.quat_soft,
     )
 
 
@@ -135,6 +157,18 @@ class PrescriptionTables:
         )
         self.ang_acc, self.ang_acc_mask = table(
             lambda p: p.ang_acc, lambda p: (True, True, True), 3
+        )
+        self.lin_vel_soft, self.lin_vel_soft_mask = table(
+            lambda p: p.lin_vel_soft, lambda p: p.lin_vel_soft_mask, 3
+        )
+        self.rot_vel_soft, self.rot_vel_soft_mask = table(
+            lambda p: p.rot_vel_soft, lambda p: p.rot_vel_soft_mask, 3
+        )
+        self.lin_pos_soft, self.lin_pos_soft_mask = table(
+            lambda p: p.lin_pos_soft, lambda p: p.lin_pos_soft_mask, 3
+        )
+        self.quat_soft, self.quat_soft_mask = table(
+            lambda p: p.quat_soft, lambda p: (True, True, True, True), 4
         )
         self.empty = len(pres) == 0
 

@@ -66,9 +66,20 @@ def integrate_owners(
         pm & tables.ang_acc_mask[pidx], tables.ang_acc[pidx], 0.0
     )
 
-    vel_unc = owners.vel + (lin_acc + params.gravity[None, :] + extra_acc
-                            + owners.ext_acc) * h
-    omg_unc = owners.omg + (ang_acc + extra_aacc + owners.ext_ang_acc) * h
+    # "soft" prescriptions assign the component, then physics integrates
+    # on top (reference dictate=false / CorrectFamily* path,
+    # DEMIntegrationKernels.cu:95-236)
+    v_base = jnp.where(
+        pm & tables.lin_vel_soft_mask[pidx], tables.lin_vel_soft[pidx],
+        owners.vel,
+    )
+    o_base = jnp.where(
+        pm & tables.rot_vel_soft_mask[pidx], tables.rot_vel_soft[pidx],
+        owners.omg,
+    )
+    vel_unc = v_base + (lin_acc + params.gravity[None, :] + extra_acc
+                        + owners.ext_acc) * h
+    omg_unc = o_base + (ang_acc + extra_aacc + owners.ext_ang_acc) * h
 
     v_presc_mask = pm & tables.lin_vel_mask[pidx]
     o_presc_mask = pm & tables.rot_vel_mask[pidx]
@@ -99,9 +110,16 @@ def integrate_owners(
     else:  # pragma: no cover
         raise ValueError(integrator)
 
-    # position update through the voxel codec
+    # position update through the voxel codec; soft position
+    # prescriptions re-seat the base position first
     disp = v_pass * h
-    vox, loc = voxel.advance(owners.vox, owners.loc, disp, voxel_size)
+    vox0, loc0 = owners.vox, owners.loc
+    sp_mask = pm & tables.lin_pos_soft_mask[pidx]
+    if not tables.empty:
+        svox, sloc = voxel.encode(tables.lin_pos_soft[pidx], voxel_size)
+        vox0 = jnp.where(sp_mask, svox, vox0)
+        loc0 = jnp.where(sp_mask, sloc, loc0)
+    vox, loc = voxel.advance(vox0, loc0, disp, voxel_size)
 
     # position prescription pins components to an absolute position
     p_presc_mask = pm & tables.lin_pos_mask[pidx]
@@ -112,8 +130,15 @@ def integrate_owners(
         vox = jnp.where(p_presc_mask, tvox, vox)
         loc = jnp.where(p_presc_mask, tloc, loc)
 
-    # orientation
-    q_new = quat_ops.integrate(owners.quat, o_pass, h)
+    # orientation; soft quaternion prescriptions re-seat the base first
+    q_base = owners.quat
+    qs_mask = pmatch & tables.quat_soft_mask[pidx, 0]
+    if not tables.empty:
+        q_base = jnp.where(
+            qs_mask[:, None], quat_ops.normalize(tables.quat_soft[pidx]),
+            q_base,
+        )
+    q_new = quat_ops.integrate(q_base, o_pass, h)
     q_presc_mask = pmatch & tables.quat_mask[pidx, 0]
     if not tables.empty:
         q_target = quat_ops.normalize(

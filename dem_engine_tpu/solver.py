@@ -550,6 +550,12 @@ class Engine:
              update_freq)
         done = 0
         blocks = 0
+        # superchunk fusion exists to amortize the ~15-22 ms dispatch floor;
+        # at large sizes a chunk is orders of magnitude longer than that and
+        # the big multi-chunk scan both compiles slowly and has crashed the
+        # TPU worker at ~3M-contact shapes — run chunk-at-a-time there
+        if self.fuse > 1 and self.cfg.cap_ss > 1_000_000:
+            self.fuse = 1
         while n_steps - done >= self.fuse * k:
             params_k = params.replace(max_drift=jnp.asarray(k, I))
             compile_hit = (self.fuse, k) not in self._chunks_cache
@@ -570,6 +576,8 @@ class Engine:
             blocks += 1
             self.timers["fused_s"] += dt
             self.timers["fused_steps"] += self.fuse * k
+            if not compile_hit and self.fuse > 1 and dt > 2.0:
+                self.fuse = 1  # dispatch overhead is already negligible
             if not compile_hit:
                 per = dt / (self.fuse * k)
                 old = self._k_perf.get(k)

@@ -1,0 +1,227 @@
+"""Round-2 API surface: Correct* prescriptions, one-shot accelerations,
+family ops, geometry wildcards, one-time persistency, purge, output
+filters, device-side inspectors/queries."""
+
+import os
+
+import numpy as np
+import pytest
+
+import dem_engine_tpu as dem
+
+
+def _simple_solver(n=4, r=0.01, gravity=(0, 0, 0), family=None, h=1e-4):
+    s = dem.DEMSolver()
+    s.SetVerbosity("QUIET")
+    s.InstructBoxDomainDimension(2, 2, 2)
+    mat = s.LoadMaterial({"E": 1e8, "nu": 0.3, "CoR": 0.5, "mu": 0.3,
+                          "Crr": 0.0})
+    tmpl = s.LoadSphereType(0.001, r, mat)
+    pos = np.stack([np.linspace(-0.5, 0.5, n), np.zeros(n),
+                    np.zeros(n)], axis=1)
+    b = s.AddClumps(tmpl, pos)
+    if family is not None:
+        b.SetFamilies(family)
+    s.SetInitTimeStep(h)
+    s.SetGravitationalAcceleration(list(gravity))
+    return s, b
+
+
+def test_correct_family_lin_vel_additive():
+    s, _ = _simple_solver(n=2)
+    s.CorrectFamilyLinVel(0, 0.0, 0.0, 0.1)
+    s.Initialize()
+    p0 = s.GetOwnerPosition().copy()
+    s.DoDynamics(0.1)
+    p1 = s.GetOwnerPosition()
+    # pure additive velocity: dz = 0.1 * 0.1 s
+    assert np.allclose(p1[:, 2] - p0[:, 2], 0.01, atol=2e-4)
+
+
+def test_prescribed_linvel_dictate_false_assigns_then_integrates():
+    """dictate=False: velocity is re-assigned each step, then physics
+    integrates on top (reference codegen `vZ = expr` + `vZ += (a+g)h`)."""
+    s, _ = _simple_solver(n=1, gravity=(0, 0, -10.0), h=1e-4)
+    s.SetFamilyPrescribedLinVel(0, vz=0.05, dictate=False)
+    s.Initialize()
+    s.DoDynamics(0.1)
+    v = np.asarray(s.state.owners.vel)[0]
+    # velocity ends at assigned + one step of gravity, not free fall
+    assert abs(v[2] - (0.05 - 10 * 1e-4)) < 1e-4
+    p = s.GetOwnerPosition()[0]
+    assert abs(p[2] - 0.05 * 0.1) < 5e-4  # drifted ~0.005 up
+
+
+def test_correct_family_quaternion_reseats_base():
+    s, _ = _simple_solver(n=1)
+    import jax.numpy as jnp
+
+    ang = 0.3
+    dq = np.asarray([np.cos(ang / 2), 0, 0, np.sin(ang / 2)], np.float32)
+    s.CorrectFamilyQuaternion(0, lambda t: jnp.asarray(dq))
+    s.Initialize()
+    s.DoDynamics(0.01)
+    q = np.asarray(s.state.owners.quat)[0]
+    yaw = 2 * np.arctan2(q[3], q[0])
+    # orientation pinned to the corrected base (omg = 0 adds nothing)
+    assert abs(yaw - ang) < 1e-3
+
+
+def test_add_owner_next_step_acc_one_shot():
+    s, _ = _simple_solver(n=1, h=1e-3)
+    s.Initialize()
+    s.AddOwnerNextStepAcc([0], [0.0, 0.0, 1000.0])
+    s.DoStepDynamics()
+    v1 = np.asarray(s.state.owners.vel)[0, 2]
+    assert abs(v1 - 1.0) < 1e-3  # 1000 * 1e-3
+    s.DoStepDynamics()
+    v2 = np.asarray(s.state.owners.vel)[0, 2]
+    assert abs(v2 - v1) < 1e-6  # acceleration was one-shot
+
+
+def test_change_clump_family_and_purge():
+    s, _ = _simple_solver(n=4)
+    s.Initialize()
+    s.ChangeClumpFamily(3, owner_ids=[0, 1])
+    fams = np.asarray(s.state.owners.family)
+    assert list(fams[:4]) == [3, 3, 0, 0]
+    s.PurgeFamily(3)
+    assert s.GetNumClumps() == 2
+    assert s.state.spheres.n == 2
+    s.DoDynamics(0.01)  # still steps fine after the purge
+
+
+def test_family_owner_wildcard_and_geometry_wildcards():
+    s, b = _simple_solver(n=3)
+    model = dem.HertzianForceModel()
+    model.SetPerOwnerWildcards(["heat"])
+    model.SetPerGeometryWildcards(["charge"])
+    s.DefineContactForceModel(model)
+    s.Initialize()
+    s.ChangeClumpFamily(5, owner_ids=[1])
+    s.SetFamilyOwnerWildcardValue(5, "heat", 7.5)
+    hv = s.GetOwnerWildcardValue("heat")
+    assert hv[1] == 7.5 and hv[0] == 0.0
+    assert list(s.GetFamilyOwnerWildcardValue(5, "heat")) == [7.5]
+    s.SetGeometryWildcardValue("charge", 2.0)
+    assert np.all(s.GetGeometryWildcardValue("charge") == 2.0)
+
+
+def test_tri_anal_wildcards():
+    s, _ = _simple_solver(n=1)
+    model = dem.HertzianForceModel()
+    model.SetPerGeometryWildcards(["Q"])
+    s.DefineContactForceModel(model)
+    mat = s._materials[0]
+    from dem_engine_tpu.structs import DEMMeshConnected
+    mesh = s.AddWavefrontMeshObject(DEMMeshConnected(
+        vertices=np.asarray([[0, 0, -0.4], [0.1, 0, -0.4], [0, 0.1, -0.4]]),
+        faces=np.asarray([[0, 1, 2]])), s._materials[0])
+    s.AddBCPlane([0, 0, -0.9], [0, 0, 1], mat)
+    s.Initialize()
+    s.SetTriWildcardValue("Q", 3.0)
+    assert np.all(s.GetTriWildcardValue("Q") == 3.0)
+    s.SetAnalWildcardValue("Q", -1.0)
+    av = s.GetAnalWildcardValue("Q")
+    assert np.all(av == -1.0) and len(av) >= 1
+
+
+def test_one_time_persistency_and_remove():
+    s, b = _simple_solver(n=2)
+    # touching pair
+    s2 = dem.DEMSolver()
+    s2.SetVerbosity("QUIET")
+    s2.InstructBoxDomainDimension(2, 2, 2)
+    mat = s2.LoadMaterial({"E": 1e8, "nu": 0.3, "CoR": 0.5, "mu": 0.3,
+                           "Crr": 0.0})
+    tmpl = s2.LoadSphereType(0.001, 0.01, mat)
+    s2.AddClumps(tmpl, np.asarray([[-0.0099, 0, 0], [0.0099, 0, 0]]))
+    s2.SetInitTimeStep(1e-5)
+    s2.SetGravitationalAcceleration([0, 0, 0])
+    s2.Initialize(dry_run=True)
+    assert s2.GetNumContacts() >= 1
+    s2.MarkPersistentContact()
+    assert int(np.asarray(s2.state.ss.persist).sum()) >= 1
+    s2.RemovePersistentContact()
+    assert int(np.asarray(s2.state.ss.persist).sum()) == 0
+    s2.MarkFamilyPersistentContactBoth(0)
+    assert int(np.asarray(s2.state.ss.persist).sum()) >= 1
+    s2.RemoveFamilyPersistentContactEither(0)
+    assert int(np.asarray(s2.state.ss.persist).sum()) == 0
+
+
+def test_owner_contact_clumps_and_forces():
+    s2 = dem.DEMSolver()
+    s2.SetVerbosity("QUIET")
+    s2.InstructBoxDomainDimension(2, 2, 2)
+    mat = s2.LoadMaterial({"E": 1e8, "nu": 0.3, "CoR": 0.5, "mu": 0.3,
+                           "Crr": 0.0})
+    tmpl = s2.LoadSphereType(0.001, 0.01, mat)
+    s2.AddClumps(tmpl, np.asarray([[-0.005, 0, 0], [0.005, 0, 0],
+                                   [0.5, 0.5, 0.5]]))
+    s2.SetInitTimeStep(1e-5)
+    s2.SetGravitationalAcceleration([0, 0, 0])
+    s2.Initialize(dry_run=True)
+    s2.DoStepDynamics()
+    ids = s2.GetOwnerContactClumps(0)
+    assert list(ids) == [1]
+    pts, fs = s2._contact_forces_for_owner(0)
+    assert len(pts) == 1
+    assert fs[0, 0] < 0  # pushed in -x (away from owner 1)
+
+
+def test_disable_family_output(tmp_path):
+    s, b = _simple_solver(n=4)
+    b.SetFamilies([1, 1, 2, 2])
+    s.Initialize()
+    s.DisableFamilyOutput(1)
+    p = tmp_path / "clumps.csv"
+    s.WriteClumpFile(str(p))
+    txt = p.read_text()
+    assert txt.count("\n") - 1 == 2  # header + only family-2 rows
+    p2 = tmp_path / "spheres.csv"
+    s.WriteSphereFile(str(p2))
+    assert p2.read_text().count("\n") - 1 == 2
+
+
+def test_device_inspectors_match_host():
+    s, _ = _simple_solver(n=5, gravity=(0, 0, -9.81))
+    s.Initialize()
+    s.DoDynamics(0.01)
+    box = dem.BoxRegion([-0.6, -0.1, -0.1], [0.1, 0.1, 0.1])
+    for q in ("clump_max_z", "clump_min_x", "clump_kinetic_energy",
+              "clump_mass", "clump_count", "clump_max_absv",
+              "clump_volume"):
+        dev = s.CreateInspector(q, region=box).GetValue()
+        insp = s.CreateInspector(q, region=box)
+        insp.region = lambda pos: np.all(
+            (pos >= np.asarray([-0.6, -0.1, -0.1]))
+            & (pos <= np.asarray([0.1, 0.1, 0.1])), axis=1)
+        host = insp._host_value()
+        assert np.isclose(dev, host, rtol=1e-5, atol=1e-7), (q, dev, host)
+
+
+def test_get_bin_size_reflects_margins():
+    s, _ = _simple_solver(n=2, r=0.02)
+    s.Initialize()
+    bs = s.GetBinSize()
+    assert bs >= 2 * 0.02  # at least twice the max radius
+    assert bs < 0.2
+
+
+def test_write_contact_file_including_potential_pairs(tmp_path):
+    s2 = dem.DEMSolver()
+    s2.SetVerbosity("QUIET")
+    s2.InstructBoxDomainDimension(2, 2, 2)
+    mat = s2.LoadMaterial({"E": 1e8, "nu": 0.3, "CoR": 0.5, "mu": 0.3,
+                           "Crr": 0.0})
+    tmpl = s2.LoadSphereType(0.001, 0.01, mat)
+    # within margin-expanded reach but not overlapping
+    s2.AddClumps(tmpl, np.asarray([[-0.0101, 0, 0], [0.0101, 0, 0]]))
+    s2.SetFamilyExtraMargin(0, 0.001)  # margin covers the 0.0002 gap
+    s2.SetInitTimeStep(1e-5)
+    s2.SetGravitationalAcceleration([0, 0, 0])
+    s2.Initialize(dry_run=True)
+    p = tmp_path / "pairs.csv"
+    s2.WriteContactFileIncludingPotentialPairs(str(p))
+    assert p.read_text().count("\n") >= 2  # header + the potential pair
