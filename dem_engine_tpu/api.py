@@ -1580,6 +1580,23 @@ class DEMSolver:
         self._timers["total"] += _time.perf_counter() - t0
         self._n_steps_done += n_steps
         self._n_refreshes += -(-n_steps // self._update_freq)
+        self._check_lost_contacts()
+
+    def _check_lost_contacts(self):
+        """Lost-contact sentry (reference dT.cpp:2040-2144): non-persistent
+        contacts that carried friction history but were not re-detected at
+        a refresh were silently dropped — report them."""
+        lost = int(self.state.lost_contacts)
+        prev = getattr(self, "_lost_reported", 0)
+        if lost > prev:
+            msg = (f"{lost - prev} contact(s) with live history were not "
+                   f"re-detected at a CD refresh and lost their wildcards "
+                   f"(total {lost}); consider MarkPersistentContact or "
+                   f"larger margins")
+            self._anomalies.append(msg)
+            if self._verbosity >= Verbosity.STEP_METRIC:
+                print(f"[dem_engine_tpu][STEP_METRIC] {msg}")
+            self._lost_reported = lost
 
     def DoDynamicsThenSync(self, duration: float):
         self.DoDynamics(duration)

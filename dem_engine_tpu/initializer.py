@@ -145,6 +145,7 @@ def make_state(owners: Owners, spheres: Spheres, cfg: SolverConfig,
         time=jnp.zeros((), F),
         step=jnp.zeros((), I),
         overflow=jnp.zeros((), I),
+        lost_contacts=jnp.zeros((), I),
         max_vel=jnp.zeros((), F),
     )
 

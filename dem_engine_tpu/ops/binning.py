@@ -231,14 +231,18 @@ def find_pairs_ss(pos, reach, owner, family, family_mask, bin_size, nb,
 
 def find_pairs_st(aabb_min, aabb_max, tri_owner, tri_family, tab: SphereBinTable,
                   family_mask, bin_size, nb, cap, max_span, max_per_bin,
-                  bin_lo=None, bin_hi=None):
+                  bin_lo=None, bin_hi=None, nodes=None, tri_margin=None):
     """Sphere–triangle candidate pairs; rows are triangles.
 
     Triangles enumerate the bins their (margin + max-sphere-reach expanded)
     AABB overlaps and test the spheres resident in each — reusing the SS
     sphere table, so each (sphere, tri) pair is visited exactly once (a
-    sphere lives in exactly one bin). Replaces the reference's triangle
-    sandwich/bin pipeline (DEMBinTriangleKernels.cu + host merge map).
+    sphere lives in exactly one bin). When world-frame `nodes` (T,3,3) and
+    `tri_margin` (T,) are given, candidates additionally pass an EXACT
+    point-to-triangle distance test, so large/diagonal facets do not
+    over-generate (the role of the reference's SAT triangle-box test,
+    DEMTriangleBoxIntersect.cu, made exact because we test against the
+    actual sphere centers rather than bins).
     """
     T = aabb_min.shape[0]
     fam_mask_flat = family_mask.reshape(-1)
@@ -285,6 +289,18 @@ def find_pairs_st(aabb_min, aabb_max, tri_owner, tri_family, tab: SphereBinTable
     d = cpos - clamped
     d2 = jnp.sum(d * d, axis=-1)
     hit = valid & (d2 < cre * cre)
+    if nodes is not None:
+        # exact narrow candidate test: distance to the triangle itself
+        from . import narrowphase
+
+        closest = narrowphase.closest_point_triangle(
+            cpos, nodes[:, None, None, 0], nodes[:, None, None, 1],
+            nodes[:, None, None, 2],
+        )
+        dt2 = jnp.sum((cpos - closest) ** 2, axis=-1)
+        rr = cre + (tri_margin[:, None, None] if tri_margin is not None
+                    else 0.0)
+        hit &= dt2 < rr * rr
     hit &= cown != tri_owner[:, None, None]
     hit &= fam_mask_flat[cfam * 256 + tri_family[:, None, None]]
 

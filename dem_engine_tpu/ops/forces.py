@@ -81,6 +81,22 @@ def pack_kinematics(owners: Owners):
     )
 
 
+def gather_rows(tab, idx):
+    """Bit-exact f32 row gather through an i16 reinterpret.
+
+    Measured on TPU v5e (tools/profile_262c.py): a plain f32 row gather
+    costs ~13-15 ns/row regardless of width, while the same gather with
+    rows bitcast to i16 lanes runs ~2.5x faster. The bitcasts are free
+    (pure layout) and the round trip is exact.
+    """
+    n, w = tab.shape
+    kb = jax.lax.bitcast_convert_type(tab, jnp.int16).reshape(n, 2 * w)
+    g = kb[idx]
+    return jax.lax.bitcast_convert_type(
+        g.reshape(idx.shape[0], w, 2), jnp.float32
+    )
+
+
 def premix_names(model) -> Tuple[str, ...]:
     """Premixed-material key set stored in the contact table."""
     names = []
@@ -303,8 +319,8 @@ def contact_pass(
     s = table.statics
     own_a = jnp.where(live, table.own_a, 0)
     own_b = jnp.where(live, table.own_b, 0)
-    A = _unpack_kin(krec[own_a])
-    B = _unpack_kin(krec[own_b])
+    A = _unpack_kin(gather_rows(krec, own_a))
+    B = _unpack_kin(gather_rows(krec, own_b))
     A["owner_id"] = own_a
     B["owner_id"] = own_b
     A["mass"] = s[:, 17]
@@ -420,7 +436,7 @@ def reduce_wrench_segment(n_owners: int, passes):
             p["rec_a"], ids_a, num_segments=n_owners + 1,
             indices_are_sorted=True,
         )
-        rec_b_s = p["rec_b"][t.perm_b]
+        rec_b_s = gather_rows(p["rec_b"], t.perm_b)
         acc_b = jax.ops.segment_sum(
             rec_b_s, t.own_b_sorted, num_segments=n_owners + 1,
             indices_are_sorted=True,

@@ -80,8 +80,11 @@ def carry_history(
     new_count: jnp.ndarray,
     wildcard_names: Tuple[str, ...],
     use_persistency: bool,
-) -> ContactTable:
+):
     """Build the refreshed ContactTable, carrying wildcards/persistency.
+    Returns (table, n_lost): n_lost counts non-persistent contacts that
+    carried live history (any nonzero wildcard) but were NOT re-detected
+    -- the reference's lost-contact sentry (dT.cpp:2040-2144).
 
     Padding entries on both sides have idA == -1; since every real idA >= 0,
     a padding "match" can only map padding→padding, which carries zeros and
@@ -101,6 +104,18 @@ def carry_history(
 
     wildcards = {k: gather_wc(k) for k in wildcard_names}
     persist = jnp.where(matched, old.persist[safe_map], 0)
+
+    # lost-contact sentry: history silently dropped?
+    old_live = old.idA >= 0
+    had_history = jnp.zeros_like(old_live)
+    for k in wildcard_names:
+        src_wc = old.wildcards.get(k)
+        if src_wc is not None:
+            had_history |= jnp.abs(src_wc) > 0
+    n_lost = jnp.sum(
+        (old_live & ~old_matched & (old.persist == 0) & had_history)
+        .astype(I)
+    )
 
     if use_persistency:
         # re-inject old persistent contacts that were not re-detected
@@ -133,4 +148,4 @@ def carry_history(
         own_b_sorted=old.own_b_sorted,
         statics=old.statics,
         premix=old.premix,
-    )
+    ), n_lost

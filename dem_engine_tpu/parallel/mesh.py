@@ -72,6 +72,7 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "shard"):
         step=repl,
         overflow=repl,
         max_vel=repl,
+        lost_contacts=repl,
     )
 
 

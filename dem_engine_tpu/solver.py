@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from .defines import F, HUGE_FLOAT, I, RESERVED_FAMILY, TimeIntegrator
 from .models.prescriptions import PrescriptionTables
-from .ops import binning, forces, history, integrator, quat, voxel
+from .ops import binning, forces, history, integrator, narrowphase, quat, voxel
 from .state import (
     OVF_AVG_CONTACTS,
     OVF_BIN_OCC,
@@ -151,7 +151,7 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             bin_size, nb, cfg.cap_ss, cfg.max_per_bin, cfg.cd_chunk,
         )
         win_ovf = jnp.zeros((), bool)
-    ss = history.carry_history(
+    ss, lost_ss = history.carry_history(
         state.ss, idA, idB, jnp.minimum(n_ss, cfg.cap_ss), wc_names,
         cfg.use_persistency,
     )
@@ -182,19 +182,35 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         bin_lo = amin - max_reach
         bin_hi = amax + max_reach
         tri_fam = owners.family[tris.owner]
-        # the ST sweep scans max_per_bin slots per bin; in Pallas-sweep
-        # mode the SS path no longer bounds bin occupancy, so flag any bin
-        # denser than that scan (OVF_ST_OCC grows max_per_bin)
-        mpb_st = cfg.max_per_bin
-        overflow |= jnp.where(
-            (max_occ > mpb_st) & (max_occ < (1 << 20)), OVF_ST_OCC, 0
-        ) if cfg.use_pallas_sweep else 0
-        tA, tB, n_st, span_ovf = binning.find_pairs_st(
-            amin, amax, tris.owner, tri_fam, tab, params.family_mask,
-            bin_size, nb, cfg.cap_st, cfg.max_tri_span, mpb_st,
-            bin_lo, bin_hi,
-        )
-        st = history.carry_history(
+        if cfg.st_bruteforce:
+            # facets too large for bin enumeration (e.g. domain-spanning
+            # walls): exact S x T distance matrix, compacted like the
+            # sphere-analytical path. O(S*T) — the engine only switches
+            # here after the span-growth ladder is exhausted.
+            ovl_t, _, _ = narrowphase.sphere_triangle(
+                pos[:, None, :], spheres.radius[:, None],
+                nodes[None, :, 0], nodes[None, :, 1], nodes[None, :, 2],
+            )
+            ovl_tm = ovl_t + margin[:, None] + m_t[None, :]
+            tA, tB, n_st = binning.find_pairs_sa(
+                ovl_tm, spheres.owner, sph_family, tris.owner, tri_fam,
+                params.family_mask, cfg.cap_st,
+            )
+            span_ovf = jnp.zeros((), bool)
+        else:
+            # the ST sweep scans max_per_bin slots per bin; in Pallas-sweep
+            # mode the SS path no longer bounds bin occupancy, so flag any
+            # bin denser than that scan (OVF_ST_OCC grows max_per_bin)
+            mpb_st = cfg.max_per_bin
+            overflow |= jnp.where(
+                (max_occ > mpb_st) & (max_occ < (1 << 20)), OVF_ST_OCC, 0
+            ) if cfg.use_pallas_sweep else 0
+            tA, tB, n_st, span_ovf = binning.find_pairs_st(
+                amin, amax, tris.owner, tri_fam, tab, params.family_mask,
+                bin_size, nb, cfg.cap_st, cfg.max_tri_span, mpb_st,
+                bin_lo, bin_hi, nodes=nodes, tri_margin=m_t,
+            )
+        st, lost_st = history.carry_history(
             state.st, tA, tB, jnp.minimum(n_st, cfg.cap_st), wc_names,
             cfg.use_persistency,
         )
@@ -208,11 +224,10 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         overflow |= jnp.where(span_ovf, OVF_TRI_BINS, 0)
     else:
         st = state.st
+        lost_st = jnp.zeros((), I)
 
     # --- sphere-analytical ---------------------------------------------------
     if anals.n > 0:
-        from .ops import narrowphase
-
         own_b = anals.owner
         base_b = voxel.decode_f32(owners.vox[own_b], owners.loc[own_b], vs)
         obj_pos = base_b + quat.rotate(owners.quat[own_b], anals.relpos)
@@ -230,7 +245,7 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             ovl_m, spheres.owner, sph_family, anals.owner,
             owners.family[anals.owner], params.family_mask, cfg.cap_sa,
         )
-        sa = history.carry_history(
+        sa, lost_sa = history.carry_history(
             state.sa, aA, aB, jnp.minimum(n_sa, cfg.cap_sa), wc_names,
             cfg.use_persistency,
         )
@@ -245,6 +260,7 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         sa = sa.replace(count=jnp.minimum(sa.count, cfg.cap_sa))
     else:
         sa = state.sa
+        lost_sa = jnp.zeros((), I)
 
     overflow |= jnp.where(~(max_vel <= params.error_out_vel), OVF_VEL, 0)
     # sanity check mirroring the reference's avg-contacts-per-sphere
@@ -254,7 +270,8 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         avg_cnt > params.error_out_avg_contacts, OVF_AVG_CONTACTS, 0
     )
     return state.replace(
-        ss=ss, st=st, sa=sa, overflow=overflow, max_vel=max_vel
+        ss=ss, st=st, sa=sa, overflow=overflow, max_vel=max_vel,
+        lost_contacts=state.lost_contacts + lost_ss + lost_st + lost_sa,
     )
 
 
@@ -470,7 +487,12 @@ class Engine:
             else:
                 changes["pallas_win"] = cfg.pallas_win * 2
         if ovf & OVF_TRI_BINS:
-            changes["max_tri_span"] = cfg.max_tri_span + 2
+            if cfg.max_tri_span >= 16:
+                # span growth exhausted (domain-spanning facets): exact
+                # brute-force ST candidates instead of bin enumeration
+                changes["st_bruteforce"] = True
+            else:
+                changes["max_tri_span"] = min(cfg.max_tri_span * 2, 16)
         self.cfg = dataclasses.replace(cfg, **changes)
         self._build()
         return state.replace(

@@ -273,6 +273,7 @@ class SimState:
     step: jnp.ndarray        # i32[]
     overflow: jnp.ndarray    # i32[] bit flags
     max_vel: jnp.ndarray     # f32[] measured at last refresh
+    lost_contacts: jnp.ndarray  # i32[] cumulative dropped-history count
 
 
 # ---------------------------------------------------------------------------
@@ -325,6 +326,7 @@ class SolverConfig:
     max_per_bin: int = 16               # bin occupancy cap (XLA sweep / ST)
     max_tri_per_bin: int = 32
     max_tri_span: int = 4               # bins per axis a triangle may cover
+    st_bruteforce: bool = False         # exact S x T candidate matrix
     cd_chunk: int = 0                   # 0 = no chunking of the CD sweep
     use_pallas_sweep: bool = False      # Pallas CD sweep kernel (TPU)
     pallas_win: int = 1024              # sweep slab window size
@@ -350,6 +352,7 @@ class SolverConfig:
                 self.max_per_bin,
                 self.max_tri_per_bin,
                 self.max_tri_span,
+                self.st_bruteforce,
                 self.cd_chunk,
                 self.use_pallas_sweep,
                 self.pallas_win,

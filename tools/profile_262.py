@@ -137,7 +137,7 @@ def main():
 
     # carry_history only
     def carry_only(s):
-        ss = history.carry_history(
+        ss, _lost = history.carry_history(
             s.ss, s.ss.idA, s.ss.idB, s.ss.count,
             cfg.force_model.contact_wildcards, cfg.use_persistency)
         return s.replace(ss=ss, time=s.time + 1e-30)
