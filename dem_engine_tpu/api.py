@@ -1440,6 +1440,7 @@ class DEMSolver:
             use_persistency=self._use_persistency,
             reduce_mode="segment" if on_tpu else "scatter",
             use_pallas_sweep=on_tpu,
+            use_pallas_reduce=on_tpu and n_owners <= 350_000,
             ss_family_filter=not bool(np.all(self._family_mask)),
         )
         self.state = make_state(owners, spheres, cfg, tris=tris, anals=anals)

@@ -423,23 +423,39 @@ def reduce_wrench(n_owners: int, passes) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return acc[:, :3], acc[:, 3:]
 
 
-def reduce_wrench_segment(n_owners: int, passes):
+def reduce_wrench_segment(n_owners: int, passes, use_pallas=False):
     """Sorted segment-sum reduction over the owner-sorted table (A side)
     and the refresh-built own_b permutation (B side). The TPU answer to
     DEME's sort + reduce-by-key force collection
-    (DEMCubForceCollection.cu:19-170, incl. its owner-index caching)."""
+    (DEMCubForceCollection.cu:19-170, incl. its owner-index caching).
+    With use_pallas the sums run as one-hot MXU matmuls
+    (ops/pallas_segred.py); returns (f_acc, t_acc, spill) where spill
+    means a too-sparse table broke the kernel's window assumption and
+    the engine must fall back to the XLA path."""
+    if use_pallas:
+        from .pallas_segred import seg_sum_sorted
+
     acc = jnp.zeros((n_owners, 6), F)
+    spill = jnp.zeros((), bool)
     for p in passes:
         t = p["table"]
         ids_a = jnp.where(t.own_a >= 0, t.own_a, n_owners)
-        acc_a = jax.ops.segment_sum(
-            p["rec_a"], ids_a, num_segments=n_owners + 1,
-            indices_are_sorted=True,
-        )
-        rec_b_s = gather_rows(p["rec_b"], t.perm_b)
-        acc_b = jax.ops.segment_sum(
-            rec_b_s, t.own_b_sorted, num_segments=n_owners + 1,
-            indices_are_sorted=True,
-        )
-        acc = acc + acc_a[:n_owners] + acc_b[:n_owners]
-    return acc[:, :3], acc[:, 3:]
+        # plain f32 permute: the i16 reinterpret helps table gathers but
+        # measured 3.5x SLOWER for full permutations (tools profiling)
+        rec_b_s = p["rec_b"][t.perm_b]
+        if use_pallas:
+            acc_a, sp_a = seg_sum_sorted(p["rec_a"], ids_a, n_owners)
+            acc_b, sp_b = seg_sum_sorted(rec_b_s, t.own_b_sorted, n_owners)
+            spill = spill | sp_a | sp_b
+            acc = acc + acc_a + acc_b
+        else:
+            acc_a = jax.ops.segment_sum(
+                p["rec_a"], ids_a, num_segments=n_owners + 1,
+                indices_are_sorted=True,
+            )
+            acc_b = jax.ops.segment_sum(
+                rec_b_s, t.own_b_sorted, num_segments=n_owners + 1,
+                indices_are_sorted=True,
+            )
+            acc = acc + acc_a[:n_owners] + acc_b[:n_owners]
+    return acc[:, :3], acc[:, 3:], spill

@@ -45,9 +45,17 @@ def _shardable(x, n) -> bool:
     )
 
 
-def state_shardings(state: SimState, mesh: Mesh, axis: str = "shard"):
-    """Build a SimState-shaped pytree of NamedShardings: contact tables and
-    sphere arrays sharded on their leading axis, everything else replicated."""
+def state_shardings(state: SimState, mesh: Mesh, axis: str = "shard",
+                    shard_owners: bool = True):
+    """Build a SimState-shaped pytree of NamedShardings: contact tables,
+    sphere arrays AND owner state sharded on their leading axis (when
+    divisible), everything else replicated.
+
+    With owners sharded, per-owner integration, kinematic packing and the
+    wrench accumulators partition across devices; XLA all-gathers the
+    small (N,16) kinematic record table for the per-contact gathers and
+    reduce-scatters the wrench sums — ICI-bandwidth-cheap collectives
+    compared to the per-contact work they unlock."""
     n = mesh.devices.size
     repl = _repl(mesh)
 
@@ -60,8 +68,9 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "shard"):
     def repl_fn(x):
         return repl
 
+    own_fn = shard0 if shard_owners else repl_fn
     return SimState(
-        owners=jax.tree_util.tree_map(repl_fn, state.owners),
+        owners=jax.tree_util.tree_map(own_fn, state.owners),
         spheres=jax.tree_util.tree_map(shard0, state.spheres),
         tris=jax.tree_util.tree_map(repl_fn, state.tris),
         anals=jax.tree_util.tree_map(repl_fn, state.anals),

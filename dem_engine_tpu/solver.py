@@ -35,6 +35,7 @@ from .state import (
     OVF_SA_CAP,
     OVF_SS_CAP,
     OVF_ST_CAP,
+    OVF_SEGRED,
     OVF_ST_OCC,
     OVF_TRI_BINS,
     OVF_VEL,
@@ -304,8 +305,11 @@ def dynamics_step(state: SimState, params: RuntimeParams,
         passes.append(p)
         new_tables[kind] = p["table"]
 
+    ovf = state.overflow
     if cfg.reduce_mode == "segment":
-        f_acc, t_acc = forces.reduce_wrench_segment(owners.n, passes)
+        f_acc, t_acc, spill = forces.reduce_wrench_segment(
+            owners.n, passes, use_pallas=cfg.use_pallas_reduce)
+        ovf = ovf | jnp.where(spill, OVF_SEGRED, 0)
     else:
         f_acc, t_acc = forces.reduce_wrench(owners.n, passes)
 
@@ -324,6 +328,7 @@ def dynamics_step(state: SimState, params: RuntimeParams,
         sa=new_tables["sa"],
         time=state.time + params.h,
         step=state.step + 1,
+        overflow=ovf,
     )
 
 
@@ -365,7 +370,7 @@ def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
 # ---------------------------------------------------------------------------
 
 _CAP_OVF = (OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC
-            | OVF_TRI_BINS | OVF_ST_OCC | OVF_PALLAS_WIN)
+            | OVF_TRI_BINS | OVF_ST_OCC | OVF_PALLAS_WIN | OVF_SEGRED)
 
 
 class Engine:
@@ -479,6 +484,10 @@ class Engine:
                 max(cfg.max_per_bin, changes.get("max_per_bin", 0))
                 * _GROWTH
             ) + 8
+        if ovf & OVF_SEGRED:
+            # a contact tile spanned more owners than the one-hot reduce
+            # window (very sparse table): use the XLA segment sums
+            changes["use_pallas_reduce"] = False
         if ovf & OVF_PALLAS_WIN:
             if cfg.pallas_win >= 16384:
                 # past a VMEM-safe slab size: give up on the Pallas sweep
@@ -495,7 +504,8 @@ class Engine:
                 changes["max_tri_span"] = min(cfg.max_tri_span * 2, 16)
         self.cfg = dataclasses.replace(cfg, **changes)
         self._build()
-        return state.replace(
+        return self._replace_tables(
+            state,
             ss=state.ss.grown(self.cfg.cap_ss),
             st=state.st.grown(self.cfg.cap_st),
             sa=state.sa.grown(self.cfg.cap_sa),
@@ -510,18 +520,30 @@ class Engine:
             ("ss", cfg.cap_ss), ("st", cfg.cap_st), ("sa", cfg.cap_sa),
         ):
             cnt = int(getattr(state, attr).count)
-            need = max(64, -(-int(cnt * 1.6 + 64) // 256) * 256)
-            if cap > 2 * need:
+            need = max(64, -(-int(cnt * 1.25 + 64) // 256) * 256)
+            if cap > 1.5 * need:
                 changes["cap_" + attr] = need
         if not changes:
             return state
         self.cfg = dataclasses.replace(cfg, **changes)
         self._build()
-        return state.replace(
+        return self._replace_tables(
+            state,
             ss=state.ss.shrunk(self.cfg.cap_ss),
             st=state.st.shrunk(self.cfg.cap_st),
             sa=state.sa.shrunk(self.cfg.cap_sa),
         )
+
+    def _replace_tables(self, state: SimState, **tables) -> SimState:
+        """Swap resized contact tables in; on a mesh, re-place the state so
+        host-side resizes keep their shardings (sliced/padded arrays come
+        back replicated otherwise, and the sharded jits reject them)."""
+        state = state.replace(**tables)
+        if self.mesh is not None:
+            from .parallel.mesh import shard_state
+
+            state = shard_state(state, self.mesh)
+        return state
 
     def refresh(self, state: SimState, params: RuntimeParams) -> SimState:
         """Refresh with automatic capacity growth (lossless: retries from the

@@ -256,6 +256,7 @@ OVF_VEL = 64        # max system velocity above error-out threshold
 OVF_ST_OCC = 128    # bin occupancy exceeds the ST sweep's slot scan
 OVF_AVG_CONTACTS = 256  # avg contacts/sphere above error-out threshold
 OVF_PALLAS_WIN = 512    # pallas sweep slab window exceeded
+OVF_SEGRED = 1024       # pallas segment-reduce owner window exceeded
 
 
 @pytree_dataclass
@@ -336,6 +337,7 @@ class SolverConfig:
     # owner wrench reduction: "scatter" (CPU / sharded) or "segment"
     # (sorted segment-sums over the owner-sorted table; wins on TPU)
     reduce_mode: str = "scatter"
+    use_pallas_reduce: bool = False     # one-hot MXU segment sums (TPU)
     # skip the SS family post-filter when the family mask is all-true over
     # sphere-capable families (the common case; saves refresh gathers)
     ss_family_filter: bool = True
@@ -360,6 +362,7 @@ class SolverConfig:
                 tuple(id(c) for c in self.family_changes),
                 self.use_persistency,
                 self.reduce_mode,
+                self.use_pallas_reduce,
                 self.ss_family_filter,
             )
         )

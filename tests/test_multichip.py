@@ -98,3 +98,41 @@ def test_eight_device_mesh_matches_single():
     # result is actually sharded across devices
     shards = s8.ss.idA.sharding
     assert len(shards.device_set) == 8
+
+
+def test_sharded_step_partitions_big_arrays():
+    """The per-shard HLO must carry the contact tables and owner arrays at
+    1/8 size: the per-contact force work and per-owner integration scale
+    with devices (VERDICT r1 #3 done-criterion: per-device share drops)."""
+    import jax
+    from functools import partial
+
+    from dem_engine_tpu.parallel.mesh import (
+        make_mesh, shard_state, state_shardings)
+    from dem_engine_tpu.solver import run_steps
+
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _build_case
+
+    cfg, state, params = _build_case(n_clumps=21)  # 21+1 wall+2 pad = 24
+    n_own = int(state.owners.vox.shape[0])
+    cap = cfg.cap_ss
+    assert n_own % 8 == 0 and cap % 8 == 0
+    mesh = make_mesh(8)
+    state = shard_state(state, mesh)
+    ssh = state_shardings(state, mesh)
+    import jax.sharding as jsh
+
+    repl = jsh.NamedSharding(mesh, jsh.PartitionSpec())
+    psh = jax.tree_util.tree_map(lambda _: repl, params)
+    fn = jax.jit(partial(run_steps, cfg=cfg, n_steps=2),
+                 in_shardings=(ssh, psh), out_shardings=ssh)
+    txt = fn.lower(state, params).compile().as_text()
+    # owner state sharded: per-device velocity rows = n/8
+    assert f"f32[{n_own // 8},3]" in txt
+    # contact table sharded: per-device idA rows = cap/8
+    assert f"s32[{cap // 8}]" in txt
+    # the full-size contact table must NOT be materialized per device
+    assert f"f32[{cap},3]" not in txt
