@@ -691,6 +691,17 @@ class DEMSolver:
         self._prescriptions[p.family] = (
             _merge_prescription(old, p) if old else p
         )
+        if self._initialized:
+            # prescriptions are compiled into the step (the jitify
+            # analogue): post-init changes rebuild the engine config, same
+            # cost profile as the reference's UpdateSimParams re-jit
+            import dataclasses as _dc
+
+            self.engine.cfg = _dc.replace(
+                self.engine.cfg,
+                prescriptions=tuple(self._prescriptions.values()),
+            )
+            self.engine._build()
 
     def SetFamilyFixed(self, family: int):
         self._merge_presc(_fixed_prescription(family))

@@ -484,6 +484,12 @@ class Engine:
                 max(cfg.max_per_bin, changes.get("max_per_bin", 0))
                 * _GROWTH
             ) + 8
+        if "max_per_bin" in changes:
+            # bound the XLA sweep's candidate-slab memory (chunk x 14 x mpb
+            # x 7 f32): high polydisperse occupancy with the default 65536
+            # chunk allocated tens of GB
+            mpb_new = changes["max_per_bin"]
+            changes["cd_chunk"] = max(2048, (1 << 22) // (14 * mpb_new))
         if ovf & OVF_SEGRED:
             # a contact tile spanned more owners than the one-hot reduce
             # window (very sparse table): use the XLA segment sums
@@ -600,7 +606,12 @@ class Engine:
         # TPU worker at ~3M-contact shapes — run chunk-at-a-time there
         if self.fuse > 1 and self.cfg.cap_ss > 1_000_000:
             self.fuse = 1
-        while n_steps - done >= self.fuse * k:
+        # at very large capacities even the single-chunk fused
+        # refresh+scan program exceeds HBM (peaks from the refresh sorts
+        # on top of the scan's double-buffered carry crashed the worker at
+        # a 12M-contact table); run refresh and steps as separate programs
+        fused_ok = self.cfg.cap_ss <= 6_000_000
+        while fused_ok and n_steps - done >= self.fuse * k:
             params_k = params.replace(max_drift=jnp.asarray(k, I))
             compile_hit = (self.fuse, k) not in self._chunks_cache
             if compile_hit:
@@ -633,11 +644,15 @@ class Engine:
                     self.active_freq = k
             if blocks in (1, 64) or blocks % 512 == 0:
                 state = self.maybe_shrink(state)
+        split_blocks = 0
         while done < n_steps:
             kk = min(k, n_steps - done)
             params_k = params.replace(max_drift=jnp.asarray(kk, I))
             t0 = _time.perf_counter()
             state = self.refresh(state, params_k)
+            split_blocks += 1
+            if split_blocks in (1, 64) or split_blocks % 512 == 0:
+                state = self.maybe_shrink(state)
             self.timers["refresh_s"] += _time.perf_counter() - t0
             self.timers["refresh_n"] += 1
             t0 = _time.perf_counter()

@@ -35,7 +35,7 @@ def build(n=800, r=0.004, speed=0.1, verbosity="QUIET", h=2e-5):
     rho = 2600.0
     tmpl = s.LoadSphereType(rho * 4 / 3 * np.pi * r**3, r, mat)
     pts = dem.HCPSampler(2.1 * r).SampleBox(
-        [0, 0, -0.13], [0.13, 0.13, 0.06]
+        [0, 0, -0.14], [0.05, 0.05, 0.05]
     )
     rng = np.random.default_rng(1)
     pts = pts + rng.uniform(-0.03 * r, 0.03 * r, pts.shape)
@@ -43,7 +43,7 @@ def build(n=800, r=0.004, speed=0.1, verbosity="QUIET", h=2e-5):
 
     cv, cf = make_cone()
     mesh = DEMMeshConnected(vertices=cv, faces=cf)
-    mesh.SetInitPos([0.0, 0.0, 0.02])  # apex above the bed surface
+    mesh.SetInitPos([0.0, 0.0, -0.10])  # apex just above the bed top
     cone = s.AddWavefrontMeshObject(mesh, mat)
     cone.SetFamily(CONE_FAMILY)
     cone.SetMass(0.5)

@@ -34,20 +34,30 @@ def build(n=700, r=0.004, ball_r=0.02, ball_rho=6000.0,
     ball_t = s.LoadSphereType(
         ball_rho * 4 / 3 * np.pi * ball_r**3, ball_r, mat
     )
-    bb = s.AddClumps(ball_t, np.asarray([[0.0, 0.0, -0.06]]))
+    bb = s.AddClumps(ball_t, np.asarray([[0.0, 0.0, -0.062]]))
     bb.SetFamilies([BALL_FAMILY])
+    s.SetFamilyFixed(BALL_FAMILY)  # held during bed settling
     s.SetInitTimeStep(h)
     s.SetGravitationalAcceleration([0, 0, -9.81])
     s.SetCDUpdateFreq(20)
     return s, len(pts[:n])
 
 
+RELEASED_FAMILY = 4
+
+
+def release_ball(s, ball_owner_id):
+    """Settle-then-release protocol (the reference demo's recipe)."""
+    s.ChangeClumpFamily(RELEASED_FAMILY, owner_ids=[ball_owner_id])
+
+
 def main(n=4000, sim_time=1.0, verbosity="INFO"):
     s, n_bed = build(n=n, verbosity=verbosity)
     s.Initialize()
     s.SetFamilyOwnerWildcardValue(BALL_FAMILY, "is_indenter", 1.0)
-    s.DoDynamics(0.3)  # settle bed + drop ball
+    s.DoDynamics(0.3)  # settle the bed with the ball held fixed
     surf = s.CreateInspector("clump_max_z").GetValue()
+    release_ball(s, n_bed)
     ball_z0 = s.GetOwnerPosition()[n_bed, 2]
     s.DoDynamics(sim_time)
     ball_z1 = s.GetOwnerPosition()[n_bed, 2]

@@ -18,3 +18,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the demo-validation tests compile many engine
+# variants; warm cache turns reruns from ~30 min into minutes
+from dem_engine_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
