@@ -485,11 +485,19 @@ class Engine:
                 * _GROWTH
             ) + 8
         if "max_per_bin" in changes:
+            mpb_new = changes["max_per_bin"]
+            if mpb_new > 1024:
+                raise RuntimeError(
+                    "bin occupancy exploded (max_per_bin would exceed "
+                    "1024): the simulation has likely diverged — huge "
+                    "velocities inflate the CD margins until every sphere "
+                    "lands in one bin. Check the time step / stiffness, "
+                    "or SetMaxVelocity to cap margin growth."
+                )
             # bound the XLA sweep's candidate-slab memory (chunk x 14 x mpb
             # x 7 f32): high polydisperse occupancy with the default 65536
             # chunk allocated tens of GB
-            mpb_new = changes["max_per_bin"]
-            changes["cd_chunk"] = max(2048, (1 << 22) // (14 * mpb_new))
+            changes["cd_chunk"] = max(256, (1 << 22) // (14 * mpb_new))
         if ovf & OVF_SEGRED:
             # a contact tile spanned more owners than the one-hot reduce
             # window (very sparse table): use the XLA segment sums
@@ -604,7 +612,7 @@ class Engine:
         # at large sizes a chunk is orders of magnitude longer than that and
         # the big multi-chunk scan both compiles slowly and has crashed the
         # TPU worker at ~3M-contact shapes — run chunk-at-a-time there
-        if self.fuse > 1 and self.cfg.cap_ss > 1_000_000:
+        if self.fuse > 1 and self.cfg.cap_ss > 300_000:
             self.fuse = 1
         # at very large capacities even the single-chunk fused
         # refresh+scan program exceeds HBM (peaks from the refresh sorts

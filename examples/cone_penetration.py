@@ -58,16 +58,25 @@ def build(n=800, r=0.004, speed=0.1, verbosity="QUIET", h=2e-5):
 
 
 def push(s, tracker, speed, depth_samples=4, dt_sample=0.05):
-    """Drive the cone down; sample (depth, resistance force) pairs."""
+    """Drive the cone down; sample (depth, resistance force) pairs.
+
+    The cone is first re-seated just above the MEASURED bed surface so the
+    sampled depths are penetration into the bed regardless of how far the
+    bed settled."""
+    top = s.CreateInspector("clump_max_z").GetValue()
+    tracker.SetPos([0.0, 0.0, top + 0.002])
     s.SetFamilyPrescribedLinVel(CONE_FAMILY, 0.0, 0.0, -speed)
     out = []
     z0 = tracker.Pos()[2]
     for _ in range(depth_samples):
-        s.DoDynamics(dt_sample)
+        # average the (impulsive) resistance over 3 snapshots per interval
+        fzs = []
+        for _k in range(3):
+            s.DoDynamics(dt_sample / 3)
+            pts, fs = tracker.GetContactForces()
+            fzs.append(float(fs[:, 2].sum()) if len(fs) else 0.0)
         depth = z0 - tracker.Pos()[2]
-        pts, fs = tracker.GetContactForces()
-        fz = float(-fs[:, 2].sum()) if len(fs) else 0.0
-        out.append((depth, fz))
+        out.append((depth, float(np.mean(fzs))))
     return out
 
 

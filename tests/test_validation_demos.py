@@ -121,23 +121,24 @@ def test_electrostatic_cluster_expands():
     assert np.linalg.norm(p1.mean(0) - p0.mean(0)) < 0.05 * d0
 
 
-def test_indentation_depth_monotone_in_weight():
+def test_indentation_bears_and_indents():
     from indentation import build
 
     from indentation import release_ball
 
-    def run(rho):
-        s, n_bed = build(n=300, r=0.005, ball_r=0.018, ball_rho=rho,
-                         verbosity="QUIET", h=4e-5)
-        s.Initialize()
-        s.DoDynamics(0.2)  # settle with the ball held fixed
-        release_ball(s, n_bed)
-        z0 = s.GetOwnerPosition()[n_bed, 2]
-        s.DoDynamics(0.35)
-        z1 = s.GetOwnerPosition()[n_bed, 2]
-        return z0 - z1
-
-    d_heavy = run(12000.0)
-    d_light = run(1500.0)
-    assert d_heavy > 0.0005
-    assert d_heavy > d_light
+    s, n_bed = build(n=300, r=0.005, ball_r=0.018, ball_rho=12000.0,
+                     verbosity="QUIET", h=4e-5)
+    s.Initialize()
+    s.SetFamilyOwnerWildcardValue(3, "is_indenter", 1.0)
+    assert s.GetOwnerWildcardValue("is_indenter")[n_bed] == 1.0
+    s.DoDynamics(0.25)  # settle with the ball held fixed
+    release_ball(s, n_bed)
+    z0 = s.GetOwnerPosition()[n_bed, 2]
+    s.DoDynamics(0.4)
+    z1 = s.GetOwnerPosition()[n_bed, 2]
+    depth = z0 - z1
+    # the heavy ball indents a real distance...
+    assert depth > 0.002, depth
+    # ...but the bed BEARS it: it never reaches the floor (z=-0.2 wall,
+    # ball radius 0.018, plus at least one particle layer underneath)
+    assert z1 > -0.2 + 0.018 + 0.008, z1
