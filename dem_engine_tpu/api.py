@@ -24,6 +24,7 @@ Typical use (mirrors the reference demos):
 
 from __future__ import annotations
 
+import dataclasses
 import time as _time
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Union
@@ -1439,6 +1440,7 @@ class DEMSolver:
         # is ~10x a gather there); scatter wins on CPU where the tests run
         platform = jax.devices()[0].platform
         on_tpu = platform != "cpu"
+        from .ops.pallas_segred import MAX_OWNERS
         cfg = SolverConfig(
             voxel_size=self._voxel_size,
             integrator=self._integrator,
@@ -1451,7 +1453,7 @@ class DEMSolver:
             use_persistency=self._use_persistency,
             reduce_mode="segment" if on_tpu else "scatter",
             use_pallas_sweep=on_tpu,
-            use_pallas_reduce=on_tpu and n_owners <= 350_000,
+            use_pallas_reduce=on_tpu and n_owners <= MAX_OWNERS,
             ss_family_filter=not bool(np.all(self._family_mask)),
         )
         self.state = make_state(owners, spheres, cfg, tris=tris, anals=anals)
@@ -1711,6 +1713,16 @@ class DEMSolver:
         self._owner_volume = np.concatenate(
             [self._owner_volume, np.asarray(vol_new)]
         )
+        # mid-sim growth may push the owner count past the Pallas reduce's
+        # VMEM-safe accumulator size; re-check the Initialize-time gate
+        # (ADVICE r2 #4)
+        from .ops.pallas_segred import MAX_OWNERS
+
+        if (self.engine.cfg.use_pallas_reduce
+                and int(owners.family.shape[0]) > MAX_OWNERS):
+            self.engine.cfg = dataclasses.replace(
+                self.engine.cfg, use_pallas_reduce=False
+            )
         self.engine._build()  # shapes changed; fresh jit caches
 
     # ------------------------------------------------------------------

@@ -315,9 +315,9 @@ def find_pairs_ss_pallas3(pos, reach, owner, family, family_mask, bin_size,
     ).reshape(-1)                                            # s0 e0 s1 e1
 
     # field-major records; bin idx rides along so the kernel can match runs.
-    # In-array padding rows (order == S) copy a real sphere's bin via
-    # build_sphere_table's clamped take — neutralize them so they can never
-    # be run members (their reach is already -1e30).
+    # In-array padding rows (order == S) carry the top-corner bin (nb-1)
+    # from build_sphere_table — push them to 2e9 so they can never be run
+    # members (their reach is already -1e30).
     idx3f = jnp.where((tab.order < S)[:, None], tab.idx3.astype(F), 2e9)
     recT = jnp.concatenate([tab.rec[:, 0:5].T, idx3f.T], axis=0)
 
@@ -331,10 +331,17 @@ def find_pairs_ss_pallas3(pos, reach, owner, family, family_mask, bin_size,
         famA = tab.rec[slot_a, 5].astype(I)
         famB = tab.rec[jnp.clip(slot_b, 0, spad - 1), 5].astype(I)
         keep = live & family_mask[famA, famB]
-        idA = jnp.where(keep, idA, -1)
-        idB = jnp.where(keep, idB, -1)
         killed = jnp.sum(live & ~keep)
         count = jnp.maximum(total - killed, 0)
+        # re-compact: downstream consumers (persistency re-injection in
+        # history.carry_history in particular) assume live pairs occupy
+        # [0, count) with no holes (ADVICE r2 #3)
+        csum = jnp.cumsum(keep.astype(I))
+        dest = jnp.where(keep, csum - 1, cap)
+        idA = jnp.full((cap,), -1, I).at[dest].set(
+            idA, mode="drop", unique_indices=True)
+        idB = jnp.full((cap,), -1, I).at[dest].set(
+            idB, mode="drop", unique_indices=True)
     else:
         count = total
 

@@ -263,6 +263,21 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         sa = state.sa
         lost_sa = jnp.zeros((), I)
 
+    # pre-flight the Pallas segment-reduce window: a too-sparse table (one
+    # input tile spanning more owners than the one-hot window) would make
+    # every step's reduction invalid, and the step programs donate their
+    # inputs so it could not be rewound after the fact (ADVICE r2 #1)
+    if cfg.reduce_mode == "segment" and cfg.use_pallas_reduce:
+        from .ops.pallas_segred import would_spill
+
+        spill = jnp.zeros((), bool)
+        for t in (ss, st, sa):
+            if t.cap:
+                ids_a = jnp.where(t.own_a >= 0, t.own_a, owners.n)
+                spill |= would_spill(ids_a, owners.n)
+                spill |= would_spill(t.own_b_sorted, owners.n)
+        overflow |= jnp.where(spill, OVF_SEGRED, 0)
+
     overflow |= jnp.where(~(max_vel <= params.error_out_vel), OVF_VEL, 0)
     # sanity check mirroring the reference's avg-contacts-per-sphere
     # error-out (DEMCubContactDetection.cu:882-892)
@@ -353,7 +368,9 @@ def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
         s = refresh_contacts(s, params, cfg)
         ovf = s.overflow
         s = run_steps(s, params, cfg, k)
-        return s.replace(overflow=ovf), None
+        # keep any step-time flags (e.g. OVF_SEGRED) ORed in rather than
+        # resetting to the post-refresh value (ADVICE r2 #1)
+        return s.replace(overflow=ovf | s.overflow), None
 
     def chunk_acc(s, _):
         prev = s.overflow

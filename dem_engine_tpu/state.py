@@ -201,6 +201,12 @@ class ContactTable:
         cap = self.cap
         if new_cap <= cap:
             sl = lambda x: x[:new_cap]
+            # perm_b sorts rows by own_b with dead rows (key MAX) trailing
+            # in index order, so when count <= new_cap the head slice is a
+            # valid permutation of [0, new_cap); the clamp only matters in
+            # the (never-taken) count > new_cap case
+            perm_b = jnp.minimum(self.perm_b[:new_cap], new_cap - 1)
+            own_b_sorted = self.own_b_sorted[:new_cap]
         else:
             pad = new_cap - cap
 
@@ -209,6 +215,15 @@ class ContactTable:
                     [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)],
                     axis=0,
                 )
+
+            # grown rows are dead: append them as identity-permuted slots
+            # whose sort key keeps them droppable by the segment reduces
+            perm_b = jnp.concatenate(
+                [self.perm_b, jnp.arange(cap, new_cap, dtype=I)]
+            )
+            own_b_sorted = jnp.concatenate(
+                [self.own_b_sorted, jnp.full((pad,), 2**30, I)]
+            )
 
         def sl_fill(x, fill):
             return x[:new_cap] if new_cap <= cap else sl(x, fill)
@@ -224,10 +239,8 @@ class ContactTable:
             wildcards={k: sl(v) for k, v in self.wildcards.items()},
             own_a=sl_fill(self.own_a, -1),
             own_b=sl_fill(self.own_b, -1),
-            # perm/own_b_sorted are stale after resize; the next refresh's
-            # finalize_table rebuilds them before any step consumes them
-            perm_b=jnp.arange(new_cap, dtype=I),
-            own_b_sorted=jnp.full((new_cap,), 2**30, I),
+            perm_b=perm_b,
+            own_b_sorted=own_b_sorted,
             statics=sl(self.statics),
             premix={k: sl(v) for k, v in self.premix.items()},
         )
