@@ -1431,7 +1431,7 @@ class DEMSolver:
             mat=np.asarray(a_mat),
         )
 
-        cap_ss = max(128, int(5 * n_spheres))
+        cap_ss = -(-max(512, int(5 * n_spheres)) // 512) * 512
         cap_st = max(64, 4 * tris.n) if tris.n else 8
         # a sphere can rest against several analytical components at once
         # (floor + wall corners): size for ~2 contacts/sphere up front
@@ -1454,6 +1454,7 @@ class DEMSolver:
             reduce_mode="segment" if on_tpu else "scatter",
             use_pallas_sweep=on_tpu,
             use_pallas_reduce=on_tpu and n_owners <= MAX_OWNERS,
+            use_fused_force=on_tpu and model.fused_variant is not None,
             ss_family_filter=not bool(np.all(self._family_mask)),
         )
         self.state = make_state(owners, spheres, cfg, tris=tris, anals=anals)

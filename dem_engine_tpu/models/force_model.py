@@ -122,18 +122,25 @@ class ForceModel:
     # if True the model produces force even without overlap (within the
     # family extra margin) — e.g. electrostatics (DEMdemo_Electrostatic)
     no_contact_force: bool = False
+    # built-in models with a hand-written fused Pallas kernel set this
+    # ("hertz_full" / "hertz_frictionless"); custom models run the traced
+    # XLA path (ops/forces.contact_pass)
+    fused_variant: str | None = None
 
     def __hash__(self):
         return id(self)
 
     def SetMustHaveMatProp(self, names):
         object.__setattr__(self, "per_material_props", tuple(names))
+        object.__setattr__(self, "fused_variant", None)
 
     def SetMustPairwiseMatProp(self, names):
         object.__setattr__(self, "pairwise_props", tuple(names))
+        object.__setattr__(self, "fused_variant", None)
 
     def SetPerContactWildcards(self, names):
         object.__setattr__(self, "contact_wildcards", tuple(sorted(names)))
+        object.__setattr__(self, "fused_variant", None)
 
     def SetPerOwnerWildcards(self, names):
         object.__setattr__(self, "owner_wildcards", tuple(sorted(names)))

@@ -163,6 +163,7 @@ def HertzianForceModel() -> ForceModel:
         ),
         per_material_props=("E", "nu"),
         pairwise_props=("CoR", "mu", "Crr"),
+        fused_variant="hertz_full",
     )
 
 
@@ -174,4 +175,5 @@ def HertzianFrictionlessForceModel() -> ForceModel:
         contact_wildcards=(),
         per_material_props=("E", "nu"),
         pairwise_props=("CoR",),
+        fused_variant="hertz_frictionless",
     )

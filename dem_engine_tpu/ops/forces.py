@@ -202,6 +202,11 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
     )
     statics = jnp.concatenate(cols + [rest, tail], axis=1)
     statics = jnp.where(live[:, None], statics, 0.0)
+    # field-major (STATIC_W, cap) storage: the fused Pallas force kernel
+    # streams (32, CH) chunks; row 0 doubles as the live marker (own_a,
+    # -1 for dead rows — the where above zeroed it, so rewrite it)
+    statics = statics.T
+    statics = statics.at[0].set(own_a.astype(F))
 
     # ---- premixed material properties -------------------------------------
     premix = {}
@@ -316,37 +321,37 @@ def contact_pass(
     if krec is None:
         krec = pack_kinematics(owners)
 
-    s = table.statics
+    s = table.statics  # field-major (STATIC_W, cap); vector fields -> .T
     own_a = jnp.where(live, table.own_a, 0)
     own_b = jnp.where(live, table.own_b, 0)
     A = _unpack_kin(gather_rows(krec, own_a))
     B = _unpack_kin(gather_rows(krec, own_b))
     A["owner_id"] = own_a
     B["owner_id"] = own_b
-    A["mass"] = s[:, 17]
-    B["mass"] = s[:, 18]
-    A["moi"] = s[:, 19:22]
-    B["moi"] = s[:, 22:25]
-    A["family"] = s[:, 25].astype(I)
-    B["family"] = s[:, 26].astype(I)
+    A["mass"] = s[17]
+    B["mass"] = s[18]
+    A["moi"] = s[19:22].T
+    B["moi"] = s[22:25].T
+    A["family"] = s[25].astype(I)
+    B["family"] = s[26].astype(I)
     A["wc"] = {k: v[own_a] for k, v in owners.wildcards.items()}
     B["wc"] = {k: v[own_b] for k, v in owners.wildcards.items()}
 
-    rel_a = quat.rotate(A["quat"], s[:, 2:5])
-    rad_a = s[:, 5]
-    mat_a = s[:, 6].astype(I)
-    mat_b = s[:, 7].astype(I)
+    rel_a = quat.rotate(A["quat"], s[2:5].T)
+    rad_a = s[5]
+    mat_a = s[6].astype(I)
+    mat_b = s[7].astype(I)
     geo_wc_a = {k: v[iA] for k, v in spheres.wildcards.items()}
     d = rel_pos(B["vox"], B["loc"], A["vox"], A["loc"], voxel_size)
 
     if kind == "ss":
-        pos_b = d + quat.rotate(B["quat"], s[:, 8:11])
-        rad_b = s[:, 11]
+        pos_b = d + quat.rotate(B["quat"], s[8:11].T)
+        rad_b = s[11]
         geo_wc_b = {k: v[iB] for k, v in spheres.wildcards.items()}
         overlap, b2a, cp = narrowphase.sphere_sphere(rel_a, rad_a, pos_b, rad_b)
         ctype = SPHERE_SPHERE_CONTACT
     elif kind == "st":
-        nodes_l = s[:, 8:17].reshape(-1, 3, 3)
+        nodes_l = s[8:17].T.reshape(-1, 3, 3)
         nodes = quat.rotate(B["quat"][:, None, :], nodes_l) + d[:, None, :]
         overlap, b2a, cp = narrowphase.sphere_triangle(
             rel_a, rad_a, nodes[:, 0], nodes[:, 1], nodes[:, 2]
@@ -355,14 +360,14 @@ def contact_pass(
         geo_wc_b = {k: v[iB] for k, v in tris.wildcards.items()}
         ctype = SPHERE_MESH_CONTACT
     elif kind == "sa":
-        obj_pos = d + quat.rotate(B["quat"], s[:, 9:12])
-        obj_dir = quat.rotate(B["quat"], s[:, 12:15])
+        obj_pos = d + quat.rotate(B["quat"], s[9:12].T)
+        obj_dir = quat.rotate(B["quat"], s[12:15].T)
         overlap, b2a, cp = narrowphase.sphere_analytical(
-            rel_a, rad_a, s[:, 8].astype(I), obj_pos, obj_dir,
+            rel_a, rad_a, s[8].astype(I), obj_pos, obj_dir,
             jnp.concatenate(
-                [s[:, 15:16], jnp.zeros((s.shape[0], 2), F)], axis=1
+                [s[15:16].T, jnp.zeros((s.shape[1], 2), F)], axis=1
             ),
-            s[:, 16],
+            s[16],
         )
         rad_b = jnp.full(rad_a.shape, HUGE_FLOAT, F)
         geo_wc_b = {k: v[iB] for k, v in anals.wildcards.items()}

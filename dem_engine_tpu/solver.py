@@ -270,8 +270,13 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     if cfg.reduce_mode == "segment" and cfg.use_pallas_reduce:
         from .ops.pallas_segred import would_spill
 
+        # the fused force pass reduces the SS table with the owner-block
+        # kernel (no window to spill); only the v1 one-hot path needs the
+        # pre-flight
+        fused_ss = (cfg.use_fused_force
+                    and cfg.force_model.fused_variant is not None)
         spill = jnp.zeros((), bool)
-        for t in (ss, st, sa):
+        for t in ([st, sa] if fused_ss else [ss, st, sa]):
             if t.cap:
                 ids_a = jnp.where(t.own_a >= 0, t.own_a, owners.n)
                 spill |= would_spill(ids_a, owners.n)
@@ -300,8 +305,16 @@ def dynamics_step(state: SimState, params: RuntimeParams,
                   cfg: SolverConfig) -> SimState:
     owners = state.owners
     model = cfg.force_model
+    fused_ss = (
+        cfg.use_fused_force
+        and model.fused_variant is not None
+        and state.spheres.n > 0
+        and state.ss.cap > 0
+    )
+    krec = None
     passes = []
     new_tables = {}
+    fused_acc = None
     for kind, table, n_geo in (
         ("ss", state.ss, state.spheres.n),
         ("st", state.st, state.tris.n),
@@ -310,8 +323,16 @@ def dynamics_step(state: SimState, params: RuntimeParams,
         if n_geo == 0 or table.cap == 0 or state.spheres.n == 0:
             new_tables[kind] = table
             continue
-        if not passes:  # pack the shared kinematic records once per step
+        if krec is None:  # pack the shared kinematic records once per step
             krec = forces.pack_kinematics(owners)
+        if kind == "ss" and fused_ss:
+            from .ops.pallas_force import fused_step_ss
+
+            f_a, t_a, new_tables["ss"] = fused_step_ss(
+                table, owners, params, cfg.voxel_size, model, krec,
+            )
+            fused_acc = (f_a, t_a)
+            continue
         p = forces.contact_pass(
             kind, table, owners, state.spheres, state.tris, state.anals,
             params, state.time, cfg.voxel_size, model,
@@ -327,6 +348,9 @@ def dynamics_step(state: SimState, params: RuntimeParams,
         ovf = ovf | jnp.where(spill, OVF_SEGRED, 0)
     else:
         f_acc, t_acc = forces.reduce_wrench(owners.n, passes)
+    if fused_acc is not None:
+        f_acc = f_acc + fused_acc[0]
+        t_acc = t_acc + fused_acc[1]
 
     tables_p = PrescriptionTables(cfg.prescriptions, state.time)
     owners = integrator.integrate_owners(
@@ -482,7 +506,10 @@ class Engine:
         cfg = self.cfg
         changes = {}
         if ovf & OVF_SS_CAP:
-            changes["cap_ss"] = int(cfg.cap_ss * _GROWTH) + 64
+            # keep the SS capacity 512-aligned: the fused force kernel and
+            # the owner-block reduce stream 512-wide chunks (pad-free)
+            changes["cap_ss"] = -(-(int(cfg.cap_ss * _GROWTH) + 64)
+                                  // 512) * 512
         if ovf & OVF_ST_CAP:
             changes["cap_st"] = int(cfg.cap_st * _GROWTH) + 64
         if ovf & OVF_SA_CAP:
@@ -551,7 +578,8 @@ class Engine:
             ("ss", cfg.cap_ss), ("st", cfg.cap_st), ("sa", cfg.cap_sa),
         ):
             cnt = int(getattr(state, attr).count)
-            need = max(64, -(-int(cnt * 1.25 + 64) // 256) * 256)
+            quantum = 512 if attr == "ss" else 256
+            need = max(64, -(-int(cnt * 1.25 + 64) // quantum) * quantum)
             if cap > 1.5 * need:
                 changes["cap_" + attr] = need
         if not changes:

@@ -170,7 +170,9 @@ class ContactTable:
     own_b: jnp.ndarray     # i32[C] owner of the B geometry (-1 dead)
     perm_b: jnp.ndarray    # i32[C] row permutation sorting by own_b
     own_b_sorted: jnp.ndarray  # i32[C] own_b[perm_b]; dead -> n_owners
-    statics: jnp.ndarray   # f32[C,STATIC_W] denormalized per-contact statics
+    statics: jnp.ndarray   # f32[STATIC_W,C] denormalized statics, FIELD-major
+                           # (rows = fields: the Pallas force kernel reads
+                           # (32, CH) chunks with full-lane vectors)
     premix: Dict[str, jnp.ndarray]  # premixed material props, each f32[C]
 
     @property
@@ -193,7 +195,7 @@ class ContactTable:
             own_b=jnp.full((cap,), -1, I),
             perm_b=jnp.arange(cap, dtype=I),
             own_b_sorted=jnp.full((cap,), 2**30, I),
-            statics=jnp.zeros((cap, STATIC_W), F),
+            statics=jnp.zeros((STATIC_W, cap), F).at[0].set(-1.0),
             premix={k: jnp.zeros((cap,), F) for k in premix_names},
         )
 
@@ -241,7 +243,11 @@ class ContactTable:
             own_b=sl_fill(self.own_b, -1),
             perm_b=perm_b,
             own_b_sorted=own_b_sorted,
-            statics=sl(self.statics),
+            statics=(self.statics[:, :new_cap] if new_cap <= cap else
+                     jnp.concatenate(
+                         [self.statics,
+                          jnp.zeros((self.statics.shape[0], new_cap - cap),
+                                    F).at[0].set(-1.0)], axis=1)),
             premix={k: sl(v) for k, v in self.premix.items()},
         )
 
@@ -351,6 +357,9 @@ class SolverConfig:
     # (sorted segment-sums over the owner-sorted table; wins on TPU)
     reduce_mode: str = "scatter"
     use_pallas_reduce: bool = False     # one-hot MXU segment sums (TPU)
+    # fused Pallas force pass over the owner-sorted SS table (TPU; only
+    # for models with a fused kernel, i.e. the built-in Hertz variants)
+    use_fused_force: bool = False
     # skip the SS family post-filter when the family mask is all-true over
     # sphere-capable families (the common case; saves refresh gathers)
     ss_family_filter: bool = True
@@ -376,6 +385,7 @@ class SolverConfig:
                 self.use_persistency,
                 self.reduce_mode,
                 self.use_pallas_reduce,
+                self.use_fused_force,
                 self.ss_family_filter,
             )
         )

@@ -1,0 +1,141 @@
+"""Fused Pallas force pass vs the XLA contact_pass path (interpret mode).
+
+A random dense pile of 2-sphere clumps with real overlaps, velocities and
+spins; one refresh, then a dynamics step through both paths must produce
+the same owner wrenches, integrated state and contact wildcards.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dem_engine_tpu.defines import TimeIntegrator
+from dem_engine_tpu.initializer import (
+    make_owners,
+    make_params,
+    make_spheres,
+    make_state,
+)
+from dem_engine_tpu.models import (
+    HertzianForceModel,
+    HertzianFrictionlessForceModel,
+)
+from dem_engine_tpu.solver import dynamics_step, refresh_contacts
+from dem_engine_tpu.state import SolverConfig
+
+R = 0.01
+
+
+def _build(n_clumps, model, seed=0, cap_ss=2048):
+    rng = np.random.default_rng(seed)
+    # dense-ish packing in a small box so there are real overlaps
+    side = max(2, int(np.ceil(n_clumps ** (1 / 3))))
+    g = np.stack(
+        np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), axis=-1
+    ).reshape(-1, 3)[:n_clumps]
+    pos = 0.1 + g * (1.9 * R) + rng.uniform(-0.2 * R, 0.2 * R, (n_clumps, 3))
+    quat = rng.normal(size=(n_clumps, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    owners = make_owners(
+        pos=pos,
+        voxel_size=1.0 / 2**16,
+        quat=quat,
+        vel=rng.uniform(-0.5, 0.5, (n_clumps, 3)),
+        omg=rng.uniform(-5.0, 5.0, (n_clumps, 3)),
+        family=np.zeros(n_clumps, np.int64),
+        mass=np.full(n_clumps, 1e-2),
+        moi=np.full((n_clumps, 3), 1e-6),
+    )
+    # 2 spheres per clump, offset along body x
+    owner_ids = np.repeat(np.arange(n_clumps), 2)
+    rel = np.tile(np.asarray([[0.5 * R, 0, 0], [-0.5 * R, 0, 0]]),
+                  (n_clumps, 1))
+    spheres = make_spheres(
+        owner=owner_ids,
+        relpos=rel,
+        radius=np.full(2 * n_clumps, R) * rng.uniform(
+            0.9, 1.1, 2 * n_clumps),
+        mat=np.zeros(2 * n_clumps),
+    )
+    cfg = SolverConfig(
+        voxel_size=1.0 / 2**16,
+        integrator=TimeIntegrator.CENTERED_DIFFERENCE,
+        force_model=model,
+        cap_ss=cap_ss,
+        cap_st=8,
+        cap_sa=8,
+        reduce_mode="segment",
+    )
+    params = make_params(
+        h=5e-6,
+        gravity=[0.0, 0.0, -9.81],
+        domain=[1.0, 1.0, 1.0],
+        materials={"E": np.asarray([1e7], np.float32),
+                   "nu": np.asarray([0.3], np.float32)},
+        pair_materials={
+            "CoR": np.asarray([[0.5]], np.float32),
+            "mu": np.asarray([[0.4]], np.float32),
+            "Crr": np.asarray([[0.02]], np.float32),
+        },
+        update_freq=5,
+    )
+    state = make_state(owners, spheres, cfg)
+    return state, params, cfg
+
+
+def _run_both(model, n_clumps=60, steps=3, seed=1):
+    state, params, cfg = _build(n_clumps, model, seed=seed)
+    state = refresh_contacts(state, params, cfg)
+    assert int(state.ss.count) > 10, "test needs real contacts"
+
+    cfg_fused = dataclasses.replace(cfg, use_fused_force=True)
+    s_x = s_f = state
+    for _ in range(steps):
+        s_x = dynamics_step(s_x, params, cfg)
+        s_f = dynamics_step(s_f, params, cfg_fused)
+    return s_x, s_f
+
+
+def _close(a, b, tol=2e-4):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    scale = np.maximum(np.abs(a).max(), 1e-12)
+    err = np.abs(a - b).max() / scale
+    assert err < tol, (err, scale)
+
+
+def test_fused_matches_xla_full_hertz():
+    s_x, s_f = _run_both(HertzianForceModel())
+    _close(s_x.owners.vel, s_f.owners.vel)
+    _close(s_x.owners.omg, s_f.owners.omg)
+    assert np.array_equal(np.asarray(s_x.owners.vox),
+                          np.asarray(s_f.owners.vox))
+    _close(s_x.owners.loc, s_f.owners.loc, tol=1e-3)
+    for k in s_x.ss.wildcards:
+        _close(s_x.ss.wildcards[k], s_f.ss.wildcards[k], tol=1e-3)
+
+
+def test_fused_matches_xla_frictionless():
+    s_x, s_f = _run_both(HertzianFrictionlessForceModel())
+    _close(s_x.owners.vel, s_f.owners.vel)
+    _close(s_x.owners.omg, s_f.owners.omg)
+
+
+def test_fused_across_refresh_and_unaligned_cap():
+    """History carry across a refresh + a capacity that is not a multiple
+    of the kernel chunk (pad path)."""
+    model = HertzianForceModel()
+    state, params, cfg = _build(40, model, seed=3, cap_ss=1000)
+    cfg_fused = dataclasses.replace(cfg, use_fused_force=True)
+    s_x = s_f = refresh_contacts(state, params, cfg)
+    for r in range(2):
+        for _ in range(2):
+            s_x = dynamics_step(s_x, params, cfg)
+            s_f = dynamics_step(s_f, params, cfg_fused)
+        s_x = refresh_contacts(s_x, params, cfg)
+        s_f = refresh_contacts(s_f, params, cfg_fused)
+    _close(s_x.owners.vel, s_f.owners.vel, tol=1e-3)
+    for k in s_x.ss.wildcards:
+        _close(s_x.ss.wildcards[k], s_f.ss.wildcards[k], tol=1e-3)

@@ -71,10 +71,10 @@ def main():
         A = forces._unpack_kin(krec[jnp.where(live, s.ss.own_a, 0)])
         B = forces._unpack_kin(krec[jnp.where(live, s.ss.own_b, 0)])
         sr = s.ss.statics
-        rel_a = quat.rotate(A["quat"], sr[:, 2:5])
+        rel_a = quat.rotate(A["quat"], sr[2:5].T)
         from dem_engine_tpu.ops.voxel import rel_pos
         d = rel_pos(B["vox"], B["loc"], A["vox"], A["loc"], cfg.voxel_size)
-        pos_b = d + quat.rotate(B["quat"], sr[:, 8:11])
+        pos_b = d + quat.rotate(B["quat"], sr[8:11].T)
         ovl, b2a, cp = narrowphase.sphere_sphere(
             rel_a, sr[:, 5], pos_b, sr[:, 11])
         return wire(s, ovl)
@@ -133,7 +133,7 @@ def main():
         z3 = s.ss.force + s.time * 1e-30
         n = z3 / jnp.maximum(jnp.linalg.norm(z3, axis=1, keepdims=True),
                              1e-6)
-        ovl = s.ss.statics[:, 5] * 0.01
+        ovl = s.ss.statics[5] * 0.01
         vel = z3
         # normal spring-damper + tangential-ish math, ~50 flops/slot
         E = 1e9
