@@ -435,6 +435,8 @@ class Engine:
         # superchunks, walk the ladder toward the cheapest K
         self.auto_freq = False
         self.active_freq: int | None = None
+        #: user bound on the adaptive cadence (SetCDMaxUpdateFreq)
+        self.max_freq: int | None = None
         self._k_perf: Dict[int, float] = {}
         self.timers = {
             "fused_s": 0.0, "fused_steps": 0,
@@ -620,7 +622,8 @@ class Engine:
         """Walk the K ladder toward the cheapest measured seconds/step;
         explore an unmeasured neighbor when adjacent to the current best."""
         ladder = [x for x in self.K_LADDER
-                  if remaining >= 2 * self.fuse * x]
+                  if remaining >= 2 * self.fuse * x
+                  and (self.max_freq is None or x <= self.max_freq)]
         if k not in ladder:
             return k
         i = ladder.index(k)

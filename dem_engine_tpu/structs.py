@@ -112,6 +112,14 @@ class DEMClumpTemplate:
     def AssignName(self, name: str):
         self.name = name
 
+    def Duplicate(self) -> "DEMClumpTemplate":
+        """Deep copy for derive-and-modify workflows (reference template
+        Duplicate, API.h:253-315): scale/move the copy without touching
+        the original."""
+        import copy
+
+        return copy.deepcopy(self)
+
 
 @dataclasses.dataclass(eq=False)
 class DEMClumpBatch:

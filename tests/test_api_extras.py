@@ -225,3 +225,53 @@ def test_write_contact_file_including_potential_pairs(tmp_path):
     p = tmp_path / "pairs.csv"
     s2.WriteContactFileIncludingPotentialPairs(str(p))
     assert p.read_text().count("\n") >= 2  # header + the potential pair
+
+
+def test_round3_api_stragglers():
+    """SetOwnerAngVel/OriQ/Family, GetOwnerMass/MOI, UpdateStepSize,
+    GetUpdateFreq/GetBinNum, SetFamilyClumpMaterial, template Duplicate
+    (reference API.h:430-486, 253-315)."""
+    s, _ = _simple_solver(n=3)
+    s.Initialize()
+    s.SetOwnerAngVel([1], [0.0, 0.0, 2.0])
+    assert np.allclose(s.GetOwnerAngVel([1])[0], [0, 0, 2])
+    q = np.asarray([[0.0, 1.0, 0.0, 0.0]])
+    s.SetOwnerOriQ([2], q)
+    assert np.allclose(s.GetOwnerOriQ([2]), q)
+    s.SetOwnerFamily([0], 7)
+    assert s.GetOwnerFamily([0])[0] == 7
+    assert np.allclose(s.GetOwnerMass(), 0.001)
+    assert s.GetOwnerMOI().shape == (3, 3)
+    s.UpdateStepSize(5e-5)
+    assert abs(float(s.params.h) - 5e-5) < 1e-9
+    assert s.GetUpdateFreq() > 0
+    assert s.GetBinNum() >= 1
+    s.SetCDMaxUpdateFreq(50)
+    assert s.engine.max_freq == 50
+
+
+def test_family_material_reassign_and_duplicate():
+    s = dem.DEMSolver()
+    s.SetVerbosity("QUIET")
+    s.InstructBoxDomainDimension(2, 2, 2)
+    soft = s.LoadMaterial({"E": 1e7, "nu": 0.3, "CoR": 0.5, "mu": 0.3,
+                           "Crr": 0.0})
+    hard = s.LoadMaterial({"E": 1e9, "nu": 0.3, "CoR": 0.5, "mu": 0.3,
+                           "Crr": 0.0})
+    t = s.LoadSphereType(0.001, 0.01, soft)
+    t2 = t.Duplicate()
+    t2.Scale(2.0)
+    assert abs(t2.radii[0] - 0.02) < 1e-12
+    assert abs(t.radii[0] - 0.01) < 1e-12  # original untouched
+    b = s.AddClumps([t, t, t2], np.asarray(
+        [[-0.5, 0, 0], [0.0, 0, 0], [0.5, 0, 0]]))
+    b.SetFamilies([1, 2, 2])
+    s.SetInitTimeStep(1e-4)
+    s.SetGravitationalAcceleration([0, 0, 0])
+    s.Initialize()
+    s.SetFamilyClumpMaterial(2, hard)
+    mats = np.asarray(s.state.spheres.mat)
+    fams = np.asarray(s.state.owners.family)[
+        np.asarray(s.state.spheres.owner)]
+    assert (mats[fams == 2] == hard.id).all()
+    assert (mats[fams == 1] == soft.id).all()
