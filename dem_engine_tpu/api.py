@@ -428,7 +428,12 @@ class DEMSolver:
         self._cnt_out_content = (
             defines.ContactOutputContent.FORCE
             | defines.ContactOutputContent.POINT
+            | defines.ContactOutputContent.TORQUE
+            | defines.ContactOutputContent.CNT_WILDCARD
         )
+        self._out_format = defines.OutputFormat.CSV
+        self._cnt_out_format = defines.OutputFormat.CSV
+        self._mesh_out_format = "vtk"
         # live (post-Initialize)
         self.state = None
         self.params = None
@@ -579,6 +584,45 @@ class DEMSolver:
                 flags |= defines.ContactOutputContent[c.upper()]
             content = flags
         self._cnt_out_content = content
+
+    @staticmethod
+    def _fmt(f):
+        if isinstance(f, str):
+            return defines.OutputFormat(f.lower())
+        return f
+
+    def SetOutputFormat(self, fmt):
+        """Clump/sphere file format: CSV or BINARY/CHPF (npz columns;
+        reference SetOutputFormat, API.h:1317-1354)."""
+        self._out_format = self._fmt(fmt)
+
+    def SetContactOutputFormat(self, fmt):
+        self._cnt_out_format = self._fmt(fmt)
+
+    def SetMeshOutputFormat(self, fmt):
+        """'vtk' (default, with facet normals) or 'obj'."""
+        self._mesh_out_format = str(getattr(fmt, "value", fmt)).lower()
+
+    def EnableOwnerWildcardOutput(self, flag: bool = True):
+        """Include owner wildcards in clump output (reference
+        EnableOwnerWildcardOutput, API.h:1340)."""
+        if flag:
+            self._out_content |= defines.OutputContent.OWNER_WILDCARD
+        else:
+            self._out_content &= ~defines.OutputContent.OWNER_WILDCARD
+
+    def EnableContactWildcardOutput(self, flag: bool = True):
+        if flag:
+            self._cnt_out_content |= defines.ContactOutputContent.CNT_WILDCARD
+        else:
+            self._cnt_out_content &= (
+                ~defines.ContactOutputContent.CNT_WILDCARD)
+
+    def EnableGeometryWildcardOutput(self, flag: bool = True):
+        if flag:
+            self._out_content |= defines.OutputContent.GEO_WILDCARD
+        else:
+            self._out_content &= ~defines.OutputContent.GEO_WILDCARD
 
     def UseFrictionlessHertzianModel(self) -> ForceModel:
         self._force_model = HertzianFrictionlessForceModel()
@@ -2067,9 +2111,15 @@ class DEMSolver:
         absv = np.linalg.norm(np.asarray(st.owners.vel), axis=1)[own]
         fams = np.asarray(st.owners.family)[own]
         keep = self._output_mask(fams)
+        extra = {}
+        if self._out_content & defines.OutputContent.GEO_WILDCARD:
+            for name in self._force_model.geo_wildcards:
+                extra[name] = np.asarray(
+                    st.spheres.wildcards[name])[keep]
         io_utils.write_spheres_csv(
             path, pos[keep], np.asarray(st.spheres.radius)[keep],
             owner=own[keep], absv=absv[keep], family=fams[keep],
+            extra=extra, fmt=self._out_format,
         )
 
     def DisableFamilyOutput(self, family: int):
@@ -2114,6 +2164,7 @@ class DEMSolver:
             family=fams[keep],
             clump_type=np.asarray(names)[keep],
             extra={k: np.asarray(v)[keep] for k, v in extra.items()},
+            fmt=self._out_format,
         )
 
     def WriteContactFile(self, path, force_thres: float = -1.0):
@@ -2133,16 +2184,24 @@ class DEMSolver:
                 wc_all.setdefault(k, []).append(v[keep])
         if not rows_a:
             io_utils.write_contacts_csv(
-                path, np.zeros(0, int), np.zeros(0, int), np.zeros(0, int)
+                path, np.zeros(0, int), np.zeros(0, int), np.zeros(0, int),
+                fmt=self._cnt_out_format,
             )
             return
+        CC = defines.ContactOutputContent
+        cc = self._cnt_out_content
         io_utils.write_contacts_csv(
             path,
             np.concatenate(rows_a), np.concatenate(rows_b),
             np.concatenate(rows_t),
-            point=np.concatenate(pts), force=np.concatenate(fs),
-            torque=np.concatenate(tqs),
-            wildcards={k: np.concatenate(v) for k, v in wc_all.items()},
+            point=np.concatenate(pts) if cc & CC.POINT else None,
+            force=np.concatenate(fs) if cc & CC.FORCE else None,
+            torque=np.concatenate(tqs) if cc & CC.TORQUE else None,
+            wildcards=(
+                {k: np.concatenate(v) for k, v in wc_all.items()}
+                if cc & CC.CNT_WILDCARD else None
+            ),
+            fmt=self._cnt_out_format,
         )
 
     def WriteContactFileIncludingPotentialPairs(self, path):
@@ -2241,9 +2300,17 @@ class DEMSolver:
             faces.append(np.asarray(mesh.faces) + off)
             off += len(v)
         if verts:
-            io_utils.write_mesh_vtk(
-                path, np.concatenate(verts), np.concatenate(faces)
-            )
+            v = np.concatenate(verts)
+            f = np.concatenate(faces)
+            e1 = v[f[:, 1]] - v[f[:, 0]]
+            e2 = v[f[:, 2]] - v[f[:, 0]]
+            nrm = np.cross(e1, e2)
+            nrm /= np.maximum(
+                np.linalg.norm(nrm, axis=1, keepdims=True), 1e-30)
+            if self._mesh_out_format == "obj":
+                io_utils.write_mesh_obj(path, v, f, normals=nrm)
+            else:
+                io_utils.write_mesh_vtk(path, v, f, normals=nrm)
 
     # ------------------------------------------------------------------
     # stats & observability (reference API.h:571-584, :1276-1292)

@@ -102,6 +102,17 @@ class OutputContent(enum.Flag):
     EXP_FACTOR = enum.auto()
 
 
+class OutputFormat(enum.Enum):
+    """File format for Write*File (reference OUTPUT_FORMAT, API.h:1317-1354).
+    BINARY/CHPF both map to compressed .npz column archives here (the
+    reference's binary and Chpf formats are CUDA-host-side serializations
+    with no TPU-relevant structure; npz keeps the same named columns)."""
+
+    CSV = "csv"
+    BINARY = "binary"
+    CHPF = "chpf"
+
+
 class ContactOutputContent(enum.Flag):
     CNT_TYPE = enum.auto()
     FORCE = enum.auto()

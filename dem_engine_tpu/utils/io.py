@@ -63,8 +63,22 @@ def write_csv(path, columns: Dict[str, np.ndarray]):
             w.writerow(row)
 
 
+def write_table(path, columns: Dict[str, np.ndarray], fmt="csv"):
+    """Format dispatch for the Write*File family (reference OUTPUT_FORMAT,
+    API.h:1317-1354): "csv" or "binary"/"chpf" (compressed npz with the
+    same column names; load with np.load)."""
+    fmt = getattr(fmt, "value", fmt)
+    if str(fmt).lower() in ("binary", "chpf", "npz"):
+        np.savez_compressed(
+            path, **{k: np.asarray(v) for k, v in columns.items()}
+        )
+        return
+    write_csv(path, columns)
+
+
 def write_spheres_csv(path, pos, radius, owner=None, absv=None, family=None,
-                      extra: Optional[Dict[str, np.ndarray]] = None):
+                      extra: Optional[Dict[str, np.ndarray]] = None,
+                      fmt="csv"):
     cols = {"x": pos[:, 0], "y": pos[:, 1], "z": pos[:, 2], "r": radius}
     if owner is not None:
         cols["owner"] = owner
@@ -73,12 +87,13 @@ def write_spheres_csv(path, pos, radius, owner=None, absv=None, family=None,
     if family is not None:
         cols["family"] = family
     cols.update(extra or {})
-    write_csv(path, cols)
+    write_table(path, cols, fmt)
 
 
 def write_clumps_csv(path, pos, quat, vel=None, ang_vel=None, family=None,
                      clump_type=None,
-                     extra: Optional[Dict[str, np.ndarray]] = None):
+                     extra: Optional[Dict[str, np.ndarray]] = None,
+                     fmt="csv"):
     cols = {"x": pos[:, 0], "y": pos[:, 1], "z": pos[:, 2]}
     if clump_type is not None:
         cols["clump_type"] = clump_type
@@ -95,12 +110,13 @@ def write_clumps_csv(path, pos, quat, vel=None, ang_vel=None, family=None,
     if family is not None:
         cols["family"] = family
     cols.update(extra or {})
-    write_csv(path, cols)
+    write_table(path, cols, fmt)
 
 
 def write_contacts_csv(path, idA, idB, ctype, point=None, force=None,
                        torque=None, normal=None,
-                       wildcards: Optional[Dict[str, np.ndarray]] = None):
+                       wildcards: Optional[Dict[str, np.ndarray]] = None,
+                       fmt="csv"):
     cols = {"A": idA, "B": idB, "contact_type": ctype}
     if point is not None:
         cols.update({"x": point[:, 0], "y": point[:, 1], "z": point[:, 2]})
@@ -115,11 +131,13 @@ def write_contacts_csv(path, idA, idB, ctype, point=None, force=None,
                      "n_z": normal[:, 2]})
     for k, v in (wildcards or {}).items():
         cols[k] = v
-    write_csv(path, cols)
+    write_table(path, cols, fmt)
 
 
-def write_mesh_vtk(path, vertices, faces):
-    """Legacy-VTK polydata mesh writer (reference writeMeshesAsVtk)."""
+def write_mesh_vtk(path, vertices, faces, normals=None, uv=None):
+    """Legacy-VTK polydata mesh writer (reference writeMeshesAsVtk,
+    dT.cpp:1850-1936) with per-facet normals as CELL_DATA and optional
+    per-point texture coordinates."""
     v = np.asarray(vertices, np.float64)
     f = np.asarray(faces, np.int64)
     with open(path, "w") as out:
@@ -131,6 +149,37 @@ def write_mesh_vtk(path, vertices, faces):
         out.write(f"POLYGONS {len(f)} {4 * len(f)}\n")
         for tri in f:
             out.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")
+        if uv is not None:
+            t = np.asarray(uv, np.float64)
+            out.write(f"POINT_DATA {len(v)}\n")
+            out.write("TEXTURE_COORDINATES uv 2 double\n")
+            for p in t:
+                out.write(f"{p[0]} {p[1]}\n")
+        if normals is not None:
+            nrm = np.asarray(normals, np.float64)
+            out.write(f"CELL_DATA {len(f)}\n")
+            out.write("NORMALS facet_normals double\n")
+            for p in nrm:
+                out.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+
+def write_mesh_obj(path, vertices, faces, normals=None):
+    """Wavefront OBJ mesh output (SetMeshOutputFormat('obj'))."""
+    v = np.asarray(vertices, np.float64)
+    f = np.asarray(faces, np.int64)
+    with open(path, "w") as out:
+        for p in v:
+            out.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        if normals is not None:
+            for p in np.asarray(normals, np.float64):
+                out.write(f"vn {p[0]} {p[1]} {p[2]}\n")
+            for i, tri in enumerate(f):
+                out.write(
+                    f"f {tri[0]+1}//{i+1} {tri[1]+1}//{i+1} "
+                    f"{tri[2]+1}//{i+1}\n")
+        else:
+            for tri in f:
+                out.write(f"f {tri[0]+1} {tri[1]+1} {tri[2]+1}\n")
 
 
 # ---------------------------------------------------------------------------

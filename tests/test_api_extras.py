@@ -275,3 +275,56 @@ def test_family_material_reassign_and_duplicate():
         np.asarray(s.state.spheres.owner)]
     assert (mats[fams == 2] == hard.id).all()
     assert (mats[fams == 1] == soft.id).all()
+
+
+def test_output_formats_roundtrip(tmp_path):
+    """SetOutputFormat/SetContactOutputFormat binary (npz) round trip +
+    mesh VTK facet normals (reference API.h:1317-1354)."""
+    s, _ = _simple_solver(n=4, gravity=(0, 0, -9.81))
+    s.Initialize()
+    s.DoDynamics(0.001)
+    s.SetOutputFormat("binary")
+    s.SetContactOutputFormat("chpf")
+    p1 = str(tmp_path / "clumps.npz")
+    p2 = str(tmp_path / "contacts.npz")
+    s.WriteClumpFile(p1)
+    s.WriteContactFile(p2)
+    d = np.load(p1)
+    assert {"x", "y", "z", "Qw"} <= set(d.files)
+    assert len(d["x"]) == 4
+    d2 = np.load(p2)
+    assert {"A", "B", "contact_type"} <= set(d2.files)
+    # csv still works after switching back
+    s.SetOutputFormat("csv")
+    p3 = str(tmp_path / "clumps.csv")
+    s.WriteClumpFile(p3)
+    assert open(p3).readline().startswith("x,")
+
+
+def test_mesh_output_normals_and_obj(tmp_path):
+    import dem_engine_tpu as dem_
+    s = dem.DEMSolver()
+    s.SetVerbosity("QUIET")
+    s.InstructBoxDomainDimension(2, 2, 2)
+    mat = s.LoadMaterial({"E": 1e8, "nu": 0.3, "CoR": 0.5, "mu": 0.3,
+                          "Crr": 0.0})
+    import numpy as _np
+    verts = _np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], _np.float64)
+    faces = _np.asarray([[0, 1, 2]])
+    from dem_engine_tpu.structs import DEMMeshConnected
+    mesh = DEMMeshConnected(vertices=verts, faces=faces)
+    s.AddWavefrontMeshObject(mesh, mat)
+    t = s.LoadSphereType(0.001, 0.01, mat)
+    s.AddClumps(t, _np.asarray([[0.5, 0.5, 0.5]]))
+    s.SetInitTimeStep(1e-4)
+    s.SetGravitationalAcceleration([0, 0, 0])
+    s.Initialize()
+    pv = str(tmp_path / "m.vtk")
+    s.WriteMeshFile(pv)
+    txt = open(pv).read()
+    assert "NORMALS" in txt and "CELL_DATA" in txt
+    s.SetMeshOutputFormat("obj")
+    po = str(tmp_path / "m.obj")
+    s.WriteMeshFile(po)
+    t2 = open(po).read()
+    assert t2.startswith("v ") and "vn " in t2 and "f " in t2
