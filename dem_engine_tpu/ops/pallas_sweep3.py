@@ -275,7 +275,7 @@ def decode_hits(out, order, cap, spad):
 
 
 def find_pairs_ss_pallas3(pos, reach, owner, family, family_mask, bin_size,
-                          nb, cap, interpret=False, tile=None, win=None,
+                          nb, cap, interpret=None, tile=None, win=None,
                           family_filter=True):
     """Sphere-sphere candidate pairs through the v3 kernel.
 
@@ -286,6 +286,8 @@ def find_pairs_ss_pallas3(pos, reach, owner, family, family_mask, bin_size,
     """
     from . import binning
 
+    if interpret is None:  # Mosaic needs hardware; CPU tests interpret
+        interpret = jax.default_backend() == "cpu"
     tile = tile or TILE
     win = win or WIN
     S = pos.shape[0]

@@ -36,6 +36,7 @@ from .state import (
     OVF_SS_CAP,
     OVF_ST_CAP,
     OVF_SEGRED,
+    OVF_SPATIAL_BUCKET,
     OVF_ST_OCC,
     OVF_TRI_BINS,
     OVF_VEL,
@@ -117,7 +118,7 @@ def _mark_persistent(table, famA_src, famB_src, params):
 
 
 def refresh_contacts(state: SimState, params: RuntimeParams,
-                     cfg: SolverConfig) -> SimState:
+                     cfg: SolverConfig, mesh=None) -> SimState:
     vs = cfg.voxel_size
     owners, spheres, tris, anals = (
         state.owners, state.spheres, state.tris, state.anals,
@@ -138,7 +139,34 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     bin_size, nb = binning.build_grid(params.domain, max_reach)
     sph_family = owners.family[spheres.owner]
 
-    if cfg.use_pallas_sweep:
+    spatial = (
+        cfg.spatial_refresh and mesh is not None
+        and spheres.n % mesh.devices.size == 0
+        and cfg.cap_ss % mesh.devices.size == 0
+    )
+    if spatial:
+        from .parallel.spatial import find_pairs_ss_spatial
+
+        n_dev = mesh.devices.size
+        capx = cfg.spatial_capx or max(
+            128, 2 * spheres.n // (n_dev * n_dev) + 128)
+        idA, idB, n_ss, max_occ, bucket_ovf = find_pairs_ss_spatial(
+            pos, reach, spheres.owner, sph_family, params.family_mask,
+            bin_size, nb, params.domain, cfg.cap_ss, cfg.max_per_bin,
+            mesh, capx,
+        )
+        win_ovf = jnp.zeros((), bool)
+        if cfg.use_persistency:
+            # persistency re-injection needs globally front-compacted live
+            # pairs; the spatial path compacts per shard
+            deadk = (idA < 0).astype(I)
+            _, idA, idB = jax.lax.sort((deadk, idA, idB), num_keys=1)
+        # the ST sweep reuses the global sphere table; build it only when
+        # meshes exist (the spatial path otherwise avoids the global sort)
+        tab = (binning.build_sphere_table(
+            pos, reach, spheres.owner, sph_family, bin_size, nb,
+            max(spheres.n, 1)) if tris.n > 0 else None)
+    elif cfg.use_pallas_sweep:
         from .ops.pallas_sweep3 import find_pairs_ss_pallas3
 
         idA, idB, n_ss, max_occ, tab, win_ovf = find_pairs_ss_pallas3(
@@ -146,12 +174,14 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             bin_size, nb, cfg.cap_ss, win=cfg.pallas_win,
             family_filter=cfg.ss_family_filter,
         )
+        bucket_ovf = jnp.zeros((), bool)
     else:
         idA, idB, n_ss, max_occ, tab = binning.find_pairs_ss(
             pos, reach, spheres.owner, sph_family, params.family_mask,
             bin_size, nb, cfg.cap_ss, cfg.max_per_bin, cfg.cd_chunk,
         )
         win_ovf = jnp.zeros((), bool)
+        bucket_ovf = jnp.zeros((), bool)
     ss, lost_ss = history.carry_history(
         state.ss, idA, idB, jnp.minimum(n_ss, cfg.cap_ss), wc_names,
         cfg.use_persistency,
@@ -163,13 +193,14 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
                                params, cfg.force_model)
     overflow |= jnp.where(ss.count > cfg.cap_ss, OVF_SS_CAP, 0)
     ss = ss.replace(count=jnp.minimum(ss.count, cfg.cap_ss))
-    if cfg.use_pallas_sweep:
+    if cfg.use_pallas_sweep and not spatial:
         # v3 flags over-wide bin runs itself (via the max_occ sentinel);
         # per-bin occupancy otherwise only limits the ST sweep (below)
         overflow |= jnp.where(max_occ >= (1 << 20), OVF_BIN_OCC, 0)
     else:
         overflow |= jnp.where(max_occ > cfg.max_per_bin, OVF_BIN_OCC, 0)
     overflow |= jnp.where(win_ovf, OVF_PALLAS_WIN, 0)
+    overflow |= jnp.where(bucket_ovf, OVF_SPATIAL_BUCKET, 0)
 
     # --- sphere-triangle ---------------------------------------------------
     if tris.n > 0:
@@ -381,7 +412,7 @@ def run_steps(state: SimState, params: RuntimeParams, cfg: SolverConfig,
 
 
 def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
-               n_chunks: int, k: int) -> SimState:
+               n_chunks: int, k: int, mesh=None) -> SimState:
     """The fused hot loop: n_chunks × (CD refresh + k dynamics steps) in ONE
     compiled program. This is the full collapse of DEME's kT/dT pipeline:
     zero host round-trips inside; overflow flags accumulate across chunks
@@ -389,7 +420,7 @@ def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
     overflow)."""
 
     def chunk(s, _):
-        s = refresh_contacts(s, params, cfg)
+        s = refresh_contacts(s, params, cfg, mesh=mesh)
         ovf = s.overflow
         s = run_steps(s, params, cfg, k)
         # keep any step-time flags (e.g. OVF_SEGRED) ORed in rather than
@@ -411,7 +442,8 @@ def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
 # ---------------------------------------------------------------------------
 
 _CAP_OVF = (OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC
-            | OVF_TRI_BINS | OVF_ST_OCC | OVF_PALLAS_WIN | OVF_SEGRED)
+            | OVF_TRI_BINS | OVF_ST_OCC | OVF_PALLAS_WIN | OVF_SEGRED
+            | OVF_SPATIAL_BUCKET)
 
 
 class Engine:
@@ -456,7 +488,8 @@ class Engine:
         key = (n_chunks, k)
         fn = self._chunks_cache.get(key)
         if fn is None:
-            base = partial(run_chunks, cfg=self.cfg, n_chunks=n_chunks, k=k)
+            base = partial(run_chunks, cfg=self.cfg, n_chunks=n_chunks, k=k,
+                           mesh=self.mesh)
             if self.mesh is not None:
                 ssh, psh = self._shardings(state, params)
                 fn = jax.jit(base, in_shardings=(ssh, psh),
@@ -478,7 +511,7 @@ class Engine:
 
     def _get_refresh(self, state, params):
         if self._refresh_jit is None:
-            fn = partial(refresh_contacts, cfg=self.cfg)
+            fn = partial(refresh_contacts, cfg=self.cfg, mesh=self.mesh)
             if self.mesh is not None:
                 ssh, psh = self._shardings(state, params)
                 self._refresh_jit = jax.jit(
@@ -548,6 +581,12 @@ class Engine:
             # a contact tile spanned more owners than the one-hot reduce
             # window (very sparse table): use the XLA segment sums
             changes["use_pallas_reduce"] = False
+        if ovf & OVF_SPATIAL_BUCKET:
+            n_dev = self.mesh.devices.size if self.mesh is not None else 1
+            auto = max(128,
+                       2 * state.spheres.n // (n_dev * n_dev) + 128)
+            base = cfg.spatial_capx or auto
+            changes["spatial_capx"] = int(base * _GROWTH) + 128
         if ovf & OVF_PALLAS_WIN:
             if cfg.pallas_win >= 16384:
                 # past a VMEM-safe slab size: give up on the Pallas sweep

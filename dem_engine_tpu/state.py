@@ -276,6 +276,7 @@ OVF_ST_OCC = 128    # bin occupancy exceeds the ST sweep's slot scan
 OVF_AVG_CONTACTS = 256  # avg contacts/sphere above error-out threshold
 OVF_PALLAS_WIN = 512    # pallas sweep slab window exceeded
 OVF_SEGRED = 1024       # pallas segment-reduce owner window exceeded
+OVF_SPATIAL_BUCKET = 2048  # spatial-refresh exchange bucket exceeded
 
 
 @pytree_dataclass
@@ -360,6 +361,11 @@ class SolverConfig:
     # fused Pallas force pass over the owner-sorted SS table (TPU; only
     # for models with a fused kernel, i.e. the built-in Hertz variants)
     use_fused_force: bool = False
+    # spatially-decomposed SS refresh over the device mesh (x-slab domain
+    # decomposition + all_to_all halo exchange, parallel/spatial.py);
+    # requires an Engine mesh
+    spatial_refresh: bool = False
+    spatial_capx: int = 0               # exchange bucket rows (0 = auto)
     # skip the SS family post-filter when the family mask is all-true over
     # sphere-capable families (the common case; saves refresh gathers)
     ss_family_filter: bool = True
@@ -386,6 +392,8 @@ class SolverConfig:
                 self.reduce_mode,
                 self.use_pallas_reduce,
                 self.use_fused_force,
+                self.spatial_refresh,
+                self.spatial_capx,
                 self.ss_family_filter,
             )
         )

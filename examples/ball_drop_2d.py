@@ -1,0 +1,87 @@
+"""Quasi-2D projectile penetration — DEMdemo_BallDrop2D (reference
+src/demo/DEMdemo_BallDrop2D.cpp): a meshed ball falls into a
+one-particle-thick granular slab; penetration depth scales with drop
+height (the classic d ~ H^(1/3)-ish crater law the CPC paper reproduces)."""
+
+import numpy as np
+
+import dem_engine_tpu as dem
+
+BALL_FAMILY = 2
+
+
+def make_ball(radius=0.04, n_lat=8, n_lon=12):
+    th = np.linspace(0, np.pi, n_lat)
+    ph = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    verts = []
+    for t in th:
+        for p in ph:
+            verts.append([radius * np.sin(t) * np.cos(p),
+                          radius * np.sin(t) * np.sin(p),
+                          radius * np.cos(t)])
+    verts = np.asarray(verts)
+    faces = []
+    for i in range(n_lat - 1):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces += [[a, b, c], [b, d, c]]
+    return verts, np.asarray(faces)
+
+
+def build(n=350, r=0.006, drop_h=0.08, ball_rad=0.04, h=1e-5,
+          verbosity="QUIET"):
+    s = dem.DEMSolver()
+    s.SetVerbosity(verbosity)
+    s.InstructBoxDomainDimension(0.6, 0.1, 0.7)
+    mat = s.LoadMaterial({"E": 5e7, "nu": 0.3, "CoR": 0.3, "mu": 0.4,
+                          "Crr": 0.02})
+    rho = 2000.0
+    tmpl = s.LoadSphereType(rho * 4 / 3 * np.pi * r**3, r, mat)
+    # slab bed: one sphere thick in y
+    half = np.asarray([0.2, 0.0, 0.055])
+    xs = np.arange(-half[0], half[0], 2.05 * r)
+    zs = np.arange(-0.3, -0.3 + 2 * half[2], 1.8 * r)
+    gx, gz = np.meshgrid(xs, zs)
+    pts = np.stack(
+        [gx.ravel() + 0.3 * r * np.cos(gz.ravel() * 997),
+         np.zeros(gx.size), gz.ravel()], axis=1)[:n]
+    s.AddClumps(tmpl, pts)
+    bed_top = pts[:, 2].max() + r
+
+    bv, bf = make_ball(radius=ball_rad)
+    ball = dem.DEMMeshConnected(vertices=bv, faces=bf)
+    ball.SetMaterial(mat)
+    m_ball = 7800 * 4 / 3 * np.pi * ball_rad**3  # steel ball
+    ball.SetMass(m_ball)
+    ib = 2 / 5 * m_ball * ball_rad**2
+    ball.SetMOI([ib, ib, ib])
+    ball.SetInitPos([0, 0, bed_top + ball_rad + drop_h])
+    ball.SetFamily(BALL_FAMILY)
+    s.AddWavefrontMeshObject(ball)
+
+    s.AddBCPlane([0, 0, -0.32], [0, 0, 1], mat)
+    s.AddBCPlane([0, -1.1 * r - 0.001, 0], [0, 1, 0], mat)
+    s.AddBCPlane([0, 1.1 * r + 0.001, 0], [0, -1, 0], mat)
+    s.SetInitTimeStep(h)
+    s.SetGravitationalAcceleration([0, 0, -9.81])
+    s.SetCDUpdateFreq(20)
+    s.SetExpandSafetyAdder(0.5)
+    s.Initialize()
+    tracker = s.Track(ball)
+    return s, tracker, bed_top
+
+
+def main(drop_h=0.08, sim_time=0.5):
+    s, tracker, bed_top = build(drop_h=drop_h, verbosity="INFO")
+    s.DoDynamics(sim_time)
+    z = tracker.Pos()[2]
+    depth = bed_top - (z - 0.04)
+    print(f"drop {drop_h} m: penetration depth {depth*1000:.1f} mm")
+    return depth
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,9 @@ def restore(checkpoint_csv, verbosity="QUIET", h=1e-5):
     solver.SetGravitationalAcceleration([0, 0, -9.81])
     solver.SetCDUpdateFreq(20)
     solver.Initialize()
+    # stash for chained prep stages (grc_prep_part2/3)
+    solver._grc_templates = tmpls
+    solver._grc_material = mat
     return solver
 
 
