@@ -221,7 +221,8 @@ def _hertz_rows(s, p, w, Ak, Bk, h, voxel_size, with_friction):
                 TINY_FLOAT,
             )
         )
-        past = jnp.where(d_coeff < 1.0, dtime > t_col, True)
+        # (scalar-True where-arm trips Mosaic's i1 truncation; use bool ops)
+        past = (d_coeff >= 1.0) | (dtime > t_col)
         v_rot = _sub3(vb, va)
         v_rot_mag = jnp.sqrt(_dot3(v_rot, v_rot))
         f_mag = jnp.sqrt(_dot3(force, force))
@@ -329,7 +330,7 @@ def _make_kernel(ch, ob, voxel_size, with_friction):
             @pl.when(merge)
             def _():
                 rb = [pltpu.make_async_copy(
-                    recb_hbm.at[pl.ds(off, ch), :], recbrb_s, sems.at[4])]
+                    recb_hbm.at[:, pl.ds(off, ch)], recbrb_s, sems.at[4])]
                 if with_friction:
                     rb.append(pltpu.make_async_copy(
                         wcout_hbm.at[:, pl.ds(off, ch)], wcrb_s,
@@ -348,9 +349,12 @@ def _make_kernel(ch, ob, voxel_size, with_friction):
             inblk = (s[0:1, :] >= 0.0) & (rel >= 0) & (rel < ob)
             E = ((jax.lax.broadcasted_iota(jnp.int32, (ob, ch), 0) == rel)
                  & inblk).astype(F)                       # (ob, ch)
+            # HIGHEST: default MXU precision rounds inputs to bf16,
+            # which destroys the voxel-int rows of the kinematic records
             Ak = jax.lax.dot_general(
                 krec_ref[...], E, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )                                             # (16, ch)
 
             rec_a, rec_b, wc_new, live = _hertz_rows(
@@ -364,6 +368,7 @@ def _make_kernel(ch, ob, voxel_size, with_friction):
             acc = acc + jax.lax.dot_general(
                 rec_a, E, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )                                             # (8, ob)
 
             # per-row outputs; rows before cstart keep the previous
@@ -371,12 +376,9 @@ def _make_kernel(ch, ob, voxel_size, with_friction):
             # the next block's merge
             slot = off + jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
             mine = slot >= cstart
-            recb_out = jnp.transpose(jnp.where(mine, rec_b, 0.0))
-            recb_out = jnp.where(
-                jnp.transpose(mine), recb_out, recbrb_s[...])
-            recb_s[...] = recb_out
+            recb_s[...] = jnp.where(mine, rec_b, recbrb_s[...])
             wr = [pltpu.make_async_copy(
-                recb_s, recb_hbm.at[pl.ds(off, ch), :], sems.at[6])]
+                recb_s, recb_hbm.at[:, pl.ds(off, ch)], sems.at[6])]
             if with_friction:
                 wcob_s[...] = jnp.where(mine, wc_new, wcrb_s[...])
                 wr.append(pltpu.make_async_copy(
@@ -405,7 +407,7 @@ def fused_hertz_ss(statics, premixT, wcT, krecT, btT, cr, n_blocks, h,
       h: f32[] traced step size.
 
     Returns (accT (8, n_blocks*ob) A-side owner wrenches,
-             wc_outT (8, capp) or None, rec_b (capp, 8) row-major).
+             wc_outT (8, capp) or None, rec_bT (8, capp) field-major).
     """
     ch = ch or CH
     ob = ob or OB
@@ -436,7 +438,7 @@ def fused_hertz_ss(statics, premixT, wcT, krecT, btT, cr, n_blocks, h,
         out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         out_shape.append(jax.ShapeDtypeStruct((8, capp), F))
     out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-    out_shape.append(jax.ShapeDtypeStruct((capp, 8), F))
+    out_shape.append(jax.ShapeDtypeStruct((8, capp), F))
 
     scratch = [
         pltpu.VMEM((32, ch), jnp.float32),   # statics
@@ -447,10 +449,10 @@ def fused_hertz_ss(statics, premixT, wcT, krecT, btT, cr, n_blocks, h,
     scratch.append(pltpu.VMEM((16, ch), jnp.float32))      # B kinematics
     if with_friction:
         scratch.append(pltpu.VMEM((8, ch), jnp.float32))   # wc out buffer
-    scratch.append(pltpu.VMEM((ch, 8), jnp.float32))       # rec_b buffer
+    scratch.append(pltpu.VMEM((8, ch), jnp.float32))       # rec_b buffer
     if with_friction:
         scratch.append(pltpu.VMEM((8, ch), jnp.float32))   # wc readback
-    scratch.append(pltpu.VMEM((ch, 8), jnp.float32))       # rec_b readback
+    scratch.append(pltpu.VMEM((8, ch), jnp.float32))       # rec_b readback
     scratch.append(pltpu.SemaphoreType.DMA((8,)))
 
     out = pl.pallas_call(
@@ -544,7 +546,7 @@ def fused_step_ss(table, owners, params, voxel_size, model, krec,
 
     # B side: permute into own_b-sorted order, owner-block segment sum.
     # Rows past the processed range are uninitialized — mask before use.
-    rec_b = jnp.where(live[:, None], rec_b[:cap, :], 0.0)
+    rec_b = jnp.where(live[:, None], rec_b[:, :cap].T, 0.0)
     rec_b_sorted = rec_b[table.perm_b]
     acc_b = seg_sum_sorted_blocks(
         rec_b_sorted[:, :6], table.own_b_sorted, n_owners,

@@ -64,6 +64,7 @@ def _make_kernel(tile, owin, n_pad, n_owners):
         partial = jax.lax.dot_general(
             rv, oh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                        # (8, owin)
         cur = out_ref[:, pl.ds(b0, owin)]
         out_ref[:, pl.ds(b0, owin)] = cur + partial
@@ -129,6 +130,7 @@ def _make_block_kernel(ch, ob, n_owners):
             return acc + jax.lax.dot_general(
                 rv, oh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         out_ref[...] = jax.lax.fori_loop(
