@@ -2134,33 +2134,40 @@ class DEMSolver:
 
     def WriteClumpFile(self, path):
         st = self.state
-        nc = self._n_clump_owners
         oc = self._out_content
         OC = defines.OutputContent
-        pos = self.GetOwnerPosition()[:nc]
+        # clump owners are not necessarily a contiguous prefix after
+        # post-init UpdateClumps (meshes/analyticals sit between batches):
+        # select by template presence
+        nc_idx = np.asarray(
+            [i for i, t in enumerate(self._owner_template)
+             if t is not None],
+            dtype=np.int64,
+        )
+        nc = nc_idx
+        pos = self.GetOwnerPosition()[nc]
         names = [
-            (t.name or f"type_{i}")
-            for i, t in enumerate(self._owner_template[:nc])
+            (self._owner_template[i].name or f"type_{i}") for i in nc_idx
         ]
         extra = {}
         if oc & OC.ABSV:
             extra["absv"] = np.linalg.norm(
-                np.asarray(st.owners.vel)[:nc], axis=1
+                np.asarray(st.owners.vel)[nc], axis=1
             )
         if oc & OC.ACC:
-            acc = np.asarray(st.owners.lin_acc)[:nc]
+            acc = np.asarray(st.owners.lin_acc)[nc]
             extra.update(
                 {"a_x": acc[:, 0], "a_y": acc[:, 1], "a_z": acc[:, 2]}
             )
         for name in self._force_model.owner_wildcards:
             if oc & OC.OWNER_WILDCARD:
-                extra[name] = np.asarray(st.owners.wildcards[name])[:nc]
-        fams = np.asarray(st.owners.family)[:nc]
+                extra[name] = np.asarray(st.owners.wildcards[name])[nc]
+        fams = np.asarray(st.owners.family)[nc]
         keep = self._output_mask(fams)
         io_utils.write_clumps_csv(
-            path, pos[keep], np.asarray(st.owners.quat)[:nc][keep],
-            vel=np.asarray(st.owners.vel)[:nc][keep],
-            ang_vel=np.asarray(st.owners.omg)[:nc][keep],
+            path, pos[keep], np.asarray(st.owners.quat)[nc][keep],
+            vel=np.asarray(st.owners.vel)[nc][keep],
+            ang_vel=np.asarray(st.owners.omg)[nc][keep],
             family=fams[keep],
             clump_type=np.asarray(names)[keep],
             extra={k: np.asarray(v)[keep] for k, v in extra.items()},

@@ -47,10 +47,11 @@ def build(n_clumps=240, seed=0, verbosity="QUIET", h=1e-5):
     return solver, batch, tmpls
 
 
-def restore(checkpoint_csv, verbosity="QUIET", h=1e-5):
+def restore(checkpoint_csv, verbosity="QUIET", h=1e-5, initialize=True):
     """Rebuild a solver from a terrain checkpoint (the WheelDP restart
     recipe: ReadClumpXyzFromCsv + ReadClumpQuatFromCsv -> AddClumps,
-    reference DEMdemo_WheelDP.cpp:115-196)."""
+    reference DEMdemo_WheelDP.cpp:115-196). With initialize=False the
+    caller may add more objects (meshes, compactors) before Initialize."""
     solver = dem.DEMSolver()
     solver.SetVerbosity(verbosity)
     solver.InstructBoxDomainDimension(0.4, 0.4, 0.5)
@@ -67,10 +68,11 @@ def restore(checkpoint_csv, verbosity="QUIET", h=1e-5):
     solver.SetInitTimeStep(h)
     solver.SetGravitationalAcceleration([0, 0, -9.81])
     solver.SetCDUpdateFreq(20)
-    solver.Initialize()
     # stash for chained prep stages (grc_prep_part2/3)
     solver._grc_templates = tmpls
     solver._grc_material = mat
+    if initialize:
+        solver.Initialize()
     return solver
 
 

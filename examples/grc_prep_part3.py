@@ -12,9 +12,13 @@ PLATE_FAMILY = 9
 
 
 def run_part3(path_in, path_out, press_time=0.25, verbosity="QUIET"):
-    solver = restore(path_in, verbosity=verbosity)
+    # meshes must exist at Initialize; restore without initializing, add
+    # the compactor, then Initialize (the reference likewise rebuilds the
+    # whole scene from the checkpoint)
+    solver = restore(path_in, verbosity=verbosity, initialize=False)
     mat = solver._grc_material
-    zmax = solver.CreateInspector("clump_max_z").GetValue()
+    xyz = dem.DEMSolver.ReadClumpXyzFromCsv(path_in)
+    zmax = max(float(np.asarray(v)[:, 2].max()) for v in xyz.values())
 
     # compactor plate: a meshed square slab lowered onto the bed
     v = np.asarray([[-0.16, -0.16, 0], [0.16, -0.16, 0],
@@ -24,10 +28,10 @@ def run_part3(path_in, path_out, press_time=0.25, verbosity="QUIET"):
     plate.SetMaterial(mat)
     plate.SetMass(10.0)
     plate.SetMOI([0.1, 0.1, 0.1])
-    plate.SetInitPos([0, 0, zmax + 0.01])
+    plate.SetInitPos([0, 0, zmax + 0.02])
     plate.SetFamily(PLATE_FAMILY)
     solver.AddWavefrontMeshObject(plate)
-    solver.UpdateClumps()
+    solver.Initialize()
 
     # press down, then withdraw (prescribed velocity family)
     solver.SetFamilyPrescribedAngVel(PLATE_FAMILY, 0.0, 0.0, 0.0)

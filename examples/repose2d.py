@@ -24,16 +24,19 @@ def build(n=400, r=0.005, mu=0.5, crr=0.06, h=2e-5, verbosity="QUIET"):
     moi = [3 * i_s + 3 * m_sph * a**2] * 3
     tmpl = s.LoadClumpType(3 * m_sph, moi, [r, r, r], rel, mat)
 
-    # narrow slot pour: a tall thin column centered above the floor
-    zs = np.arange(n) * (2.6 * r)
+    # narrow slot pour: a tall thin column centered above the floor,
+    # non-overlapping lattice (clump bounding radius ~ r + a)
     rng = np.random.default_rng(1)
+    rb = 1.15 * (r + a)
+    ncol = 4
+    xs = (np.arange(ncol) - (ncol - 1) / 2) * 2 * rb
+    col = np.arange(n) % ncol
+    lvl = np.arange(n) // ncol
     pts = np.stack([
-        rng.uniform(-2.2 * r, 2.2 * r, n),
+        xs[col] + rng.uniform(-0.1 * r, 0.1 * r, n),
         np.zeros(n),
-        0.02 + zs * 0.0 + np.arange(n) * 0.0,
+        0.02 + lvl * 2 * rb,
     ], axis=1)
-    # stack in a column with slight jitter
-    pts[:, 2] = 0.02 + np.arange(n) * (1.2 * (2 * r + a) ** 1) / 8
     s.AddClumps(tmpl, pts)
 
     s.AddBCPlane([0, 0, -0.25], [0, 0, 1], mat)
