@@ -2366,11 +2366,20 @@ class DEMSolver:
         return list(self._anomalies)
 
     def ShowMemStats(self):
-        tot = 0
-        for leaf in jax.tree_util.tree_leaves(self.state):
-            tot += leaf.size * leaf.dtype.itemsize
-        print(f"[mem] state arrays: {tot / 1e6:.1f} MB")
-        return tot
+        """State footprint plus the modeled HBM peak of the compiled
+        programs (the refresh transients are what actually bound scale;
+        reference ShowMemStats, API.h:571-584)."""
+        from .solver import estimate_hbm_peak
+
+        mem = estimate_hbm_peak(self.state, self.engine.cfg)
+        print(f"[mem] state arrays: {mem['state'] / 1e6:.1f} MB")
+        print(f"[mem] refresh transient (model): "
+              f"{mem['refresh_transient'] / 1e6:.1f} MB")
+        print(f"[mem] step transient (model): "
+              f"{mem['step_transient'] / 1e6:.1f} MB")
+        print(f"[mem] modeled peak: {mem['peak'] / 1e6:.1f} MB of "
+              f"{mem['hbm'] / 1e9:.1f} GB HBM")
+        return mem["state"]
 
     def ReleaseFlattenedArrays(self):
         pass  # no host staging copies persist after Initialize

@@ -446,6 +446,44 @@ _CAP_OVF = (OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC
             | OVF_SPATIAL_BUCKET)
 
 
+def estimate_hbm_peak(state: SimState, cfg: SolverConfig) -> Dict[str, float]:
+    """Rough HBM peak model for the compiled programs (bytes).
+
+    Replaces round 2's crash-derived magic constants (fuse>1 at ~3M-contact
+    capacity and the 12M-contact fused refresh+scan both took the worker
+    down) with an explicit budget: persistent state (double-buffered
+    through the scan carry) plus the larger of the refresh-transient and
+    step-transient working sets. Calibrated against those two observed
+    crash points; surfaced by api.ShowMemStats.
+    """
+    state_b = 0
+    for leaf in jax.tree_util.tree_leaves(state):
+        state_b += leaf.size * leaf.dtype.itemsize
+    cap = cfg.cap_ss
+    spad = max(state.spheres.n, 1)
+    W = len(cfg.force_model.contact_wildcards)
+    # refresh: pallas-sweep output (spad,128 i32) + sorted record tables +
+    # decode gathers + history sort-merge (2cap x (4+W) ops, two buffers)
+    # + finalize sort ((6+W) ops) + statics/premix rebuild
+    refresh_b = spad * 768 + cap * (100 + (4 + W) * 16 + (6 + W) * 8 + 160)
+    # step: B-kinematics gather + transposes + rec_b (2 copies through the
+    # permute) + wildcard double-buffer + reduce records
+    step_b = cap * (64 * 2 + 32 * 3 + 32 * 2)
+    total = 2 * state_b + max(refresh_b, step_b)
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm = float(stats.get("bytes_limit", 16e9))
+    except Exception:
+        hbm = 16e9
+    return {
+        "state": float(state_b),
+        "refresh_transient": float(refresh_b),
+        "step_transient": float(step_b),
+        "peak": float(total),
+        "hbm": hbm,
+    }
+
+
 class Engine:
     """Owns the jit caches and the refresh/step/grow protocol.
 
@@ -695,17 +733,18 @@ class Engine:
              update_freq)
         done = 0
         blocks = 0
-        # superchunk fusion exists to amortize the ~15-22 ms dispatch floor;
-        # at large sizes a chunk is orders of magnitude longer than that and
-        # the big multi-chunk scan both compiles slowly and has crashed the
-        # TPU worker at ~3M-contact shapes — run chunk-at-a-time there
-        if self.fuse > 1 and self.cfg.cap_ss > 300_000:
+        # superchunk fusion exists to amortize the ~15-22 ms dispatch
+        # floor; it only pays while a chunk is dispatch-bound, and big
+        # multi-chunk scans compile slowly — gate on the HBM peak model
+        # (estimate_hbm_peak; calibrated on the round-2 worker crashes)
+        mem = estimate_hbm_peak(state, self.cfg)
+        if self.fuse > 1 and mem["peak"] > 0.15 * mem["hbm"]:
             self.fuse = 1
         # at very large capacities even the single-chunk fused
-        # refresh+scan program exceeds HBM (peaks from the refresh sorts
-        # on top of the scan's double-buffered carry crashed the worker at
-        # a 12M-contact table); run refresh and steps as separate programs
-        fused_ok = self.cfg.cap_ss <= 6_000_000
+        # refresh+scan program exceeds HBM (refresh transients on top of
+        # the scan's double-buffered carry); run refresh and steps as
+        # separate programs past ~55% of HBM
+        fused_ok = mem["peak"] <= 0.55 * mem["hbm"]
         while fused_ok and n_steps - done >= self.fuse * k:
             params_k = params.replace(max_drift=jnp.asarray(k, I))
             compile_hit = (self.fuse, k) not in self._chunks_cache
