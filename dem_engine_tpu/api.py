@@ -438,6 +438,7 @@ class DEMSolver:
         self.state = None
         self.params = None
         self.engine: Optional[Engine] = None
+        self._contact_fill_jit = None
         self._voxel_size = None
         self._initialized = False
         self._n_clump_owners = 0
@@ -1496,7 +1497,6 @@ class DEMSolver:
         # is ~10x a gather there); scatter wins on CPU where the tests run
         platform = jax.devices()[0].platform
         on_tpu = platform != "cpu"
-        from .ops.pallas_segred import MAX_OWNERS
         cfg = SolverConfig(
             voxel_size=self._voxel_size,
             integrator=self._integrator,
@@ -1509,7 +1509,8 @@ class DEMSolver:
             use_persistency=self._use_persistency,
             reduce_mode="segment" if on_tpu else "scatter",
             use_pallas_sweep=on_tpu,
-            use_pallas_reduce=on_tpu and n_owners <= MAX_OWNERS,
+            # the owner-block reduce kernel has no owner-count limit
+            use_pallas_reduce=on_tpu,
             use_fused_force=on_tpu and model.fused_variant is not None,
             ss_family_filter=not bool(np.all(self._family_mask)),
         )
@@ -1558,8 +1559,12 @@ class DEMSolver:
         n = len(idA)
         cap = max(cfg.cap_ss, n)
         from .ops.forces import premix_names
-        table = ContactTable.empty(cap, cfg.force_model.contact_wildcards,
-                                   premix_names(cfg.force_model))
+        table = ContactTable.empty(
+            cap, cfg.force_model.contact_wildcards,
+            premix_names(cfg.force_model),
+            fused=cfg.force_model.fused_variant is not None,
+            slim=cfg.use_fused_force,
+        )
         table = table.replace(
             idA=table.idA.at[:n].set(jnp.asarray(idA, I)),
             idB=table.idB.at[:n].set(jnp.asarray(idB, I)),
@@ -1771,16 +1776,6 @@ class DEMSolver:
         self._owner_volume = np.concatenate(
             [self._owner_volume, np.asarray(vol_new)]
         )
-        # mid-sim growth may push the owner count past the Pallas reduce's
-        # VMEM-safe accumulator size; re-check the Initialize-time gate
-        # (ADVICE r2 #4)
-        from .ops.pallas_segred import MAX_OWNERS
-
-        if (self.engine.cfg.use_pallas_reduce
-                and int(owners.family.shape[0]) > MAX_OWNERS):
-            self.engine.cfg = dataclasses.replace(
-                self.engine.cfg, use_pallas_reduce=False
-            )
         self.engine._build()  # shapes changed; fresh jit caches
 
     # ------------------------------------------------------------------
@@ -1982,8 +1977,41 @@ class DEMSolver:
         own = np.asarray(st.spheres.owner)
         return np.stack([own[idA], own[idB]], axis=1)
 
+    def _fill_contact_fields(self):
+        """Fill per-contact force/torque/cpoint for queries.
+
+        The fused force pass (TPU hot loop) reduces wrenches in-kernel and
+        never materializes per-contact forces; queries that need them
+        (GetContactDetailedInfo / tracker GetContactForces / contact file
+        output — reference generateContactInfo, dT.cpp:1619) trigger one
+        extra fused pass with the `extras` output streams here. Wildcards
+        are NOT advanced (the pass result's history update is discarded)."""
+        cfg = self.engine.cfg if self.engine is not None else None
+        if (cfg is None or not cfg.use_fused_force
+                or cfg.force_model.fused_variant is None
+                or self.state.ss.cap == 0 or self.state.spheres.n == 0):
+            return
+        if self._contact_fill_jit is None:
+            from .ops import forces as _forces
+            from .ops.pallas_force import fused_step_ss as _fss
+
+            def fill(state, params):
+                krec = _forces.pack_kinematics(state.owners)
+                _, _, tbl = _fss(
+                    state.ss, state.owners, params, cfg.voxel_size,
+                    cfg.force_model, krec, extras=True,
+                )
+                return state.ss.replace(
+                    force=tbl.force, torque=tbl.torque, cpoint=tbl.cpoint
+                )
+            self._contact_fill_jit = jax.jit(fill)
+        self.state = self.state.replace(
+            ss=self._contact_fill_jit(self.state, self.params)
+        )
+
     def GetContactDetailedInfo(self):
         """Contact table dump incl. forces/points (reference API.h:544)."""
+        self._fill_contact_fields()
         out = []
         own = np.asarray(self.state.spheres.owner)
         opos = self.GetOwnerPosition()
@@ -2067,6 +2095,7 @@ class DEMSolver:
         return outs[:cap_out], total
 
     def _contact_forces_for_owner(self, owner_id: int):
+        self._fill_contact_fields()
         cap = self._CFQ_CAP
         oid = jnp.asarray(owner_id, jnp.int32)
         while True:

@@ -139,7 +139,11 @@ def make_state(owners: Owners, spheres: Spheres, cfg: SolverConfig,
         spheres=spheres,
         tris=tris if tris is not None else empty_triangles(),
         anals=anals if anals is not None else empty_analyticals(),
-        ss=ContactTable.empty(cfg.cap_ss, wc, pn),
+        ss=ContactTable.empty(
+            cfg.cap_ss, wc, pn,
+            fused=cfg.force_model.fused_variant is not None,
+            slim=cfg.use_fused_force,
+        ),
         st=ContactTable.empty(cfg.cap_st, wc, pn),
         sa=ContactTable.empty(cfg.cap_sa, wc, pn),
         time=jnp.zeros((), F),

@@ -49,7 +49,9 @@ from ..defines import (
 )
 from ..models.force_model import ContactContext
 from ..state import (
+    FSTAT_W,
     STATIC_W,
+    WCB_W,
     Analyticals,
     ContactTable,
     Owners,
@@ -120,15 +122,23 @@ def premix_names(model) -> Tuple[str, ...]:
 
 def finalize_table(kind, table: ContactTable, owners: Owners,
                    spheres: Spheres, tris: Triangles, anals: Analyticals,
-                   params: RuntimeParams, model) -> ContactTable:
+                   params: RuntimeParams, model,
+                   slim: bool = False) -> ContactTable:
     """Sort the table by A-side owner, rebuild the B-side permutation, and
     denormalize all refresh-constant data (the TPU answer to the
     reference's per-step component/material acquisition strategies,
     Models.h:66-171 + DEMCubForceCollection.cu:45-64 owner-index caching).
+
+    For SS tables of models with a fused kernel variant, additionally
+    builds the slim fused-pass layouts (fstat_a/fstat_b/wcb/own_a_b — see
+    state.FSTAT_W); with `slim` the wide XLA `statics` record is skipped
+    entirely (the fused pass owns this table and never reads it).
     """
     cap = table.cap
     n_owners = owners.n
     src_b = {"ss": spheres, "st": tris, "sa": anals}[kind]
+    fused = kind == "ss" and model.fused_variant is not None and cap > 0
+    slim = slim and fused
 
     live0 = table.idA >= 0
     jA = jnp.where(live0, table.idA, 0)
@@ -158,6 +168,109 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
     mat_b = src_b.mat[iB]
     oa = jnp.where(live, own_a, 0)
     ob = jnp.where(live, own_b, 0)
+    statics = table.statics
+    if not slim:
+        statics = _build_statics(
+            kind, cap, live, iA, iB, oa, ob, own_a, own_b, mat_a, mat_b,
+            owners, spheres, tris, anals,
+        )
+
+    # ---- premixed material properties -------------------------------------
+    premix = {}
+    for name in model.per_material_props:
+        t = params.mat_props[name]
+        premix[name + ":a"] = t[mat_a]
+        premix[name + ":b"] = t[mat_b]
+    for name in model.pairwise_props:
+        premix[name] = params.pair_props[name][mat_a, mat_b]
+
+    # ---- B-side permutation ------------------------------------------------
+    keyB = jnp.where(live, own_b, _I32MAX)
+    keyB_s, perm_b = jax.lax.sort(
+        (keyB, jnp.arange(cap, dtype=I)), num_keys=1
+    )
+    own_b_sorted = jnp.where(keyB_s == _I32MAX, n_owners, keyB_s)
+
+    # ---- fused-pass layouts ------------------------------------------------
+    fstat_a, fstat_b = table.fstat_a, table.fstat_b
+    wcb, own_a_b = table.wcb, table.own_a_b
+    if fused:
+        from ..defines import TINY_FLOAT
+
+        Ea, Eb = premix["E:a"], premix["E:b"]
+        nua, nub = premix["nu:a"], premix["nu:b"]
+        inv_E = (1.0 - nua * nua) / Ea + (1.0 - nub * nub) / Eb
+        E_eff = 1.0 / jnp.maximum(inv_E, TINY_FLOAT)
+        inv_G = (2.0 * (2.0 - nua) * (1.0 + nua) / Ea
+                 + 2.0 * (2.0 - nub) * (1.0 + nub) / Eb)
+        G_eff = 1.0 / jnp.maximum(inv_G, TINY_FLOAT)
+        zero = jnp.zeros((cap,), F)
+        # contact-major (cap, FSTAT_W) first: the B copy is then one
+        # bit-exact row gather through perm_b
+        fs_cm = jnp.stack(
+            [
+                jnp.where(live, own_a.astype(F), -1.0),
+                spheres.radius[iA],
+                spheres.relpos[iA][:, 0],
+                spheres.relpos[iA][:, 1],
+                spheres.relpos[iA][:, 2],
+                spheres.relpos[iB][:, 0],
+                spheres.relpos[iB][:, 1],
+                spheres.relpos[iB][:, 2],
+                spheres.radius[iB],
+                owners.mass[oa],
+                owners.mass[ob],
+                E_eff,
+                G_eff,
+                premix["CoR"],
+                premix.get("mu", zero),
+                premix.get("Crr", zero),
+            ],
+            axis=1,
+        )
+        fs_cm = jnp.where(live[:, None], fs_cm, 0.0)
+        fs_cm = fs_cm.at[:, 0].set(jnp.where(live, own_a.astype(F), -1.0))
+        fstat_a = fs_cm.T
+        fs_b = gather_rows(fs_cm, perm_b)
+        # the B layout reduces over own_b: its own_key is own_b_sorted
+        # (dead -> -1, NOT n_owners: a dead key of n_owners could land
+        # inside the last owner block's one-hot window)
+        keyb = jnp.where(own_b_sorted < n_owners,
+                         own_b_sorted.astype(F), -1.0)
+        fstat_b = fs_b.T.at[0].set(keyb)
+        own_a_b = jnp.where(own_b_sorted < n_owners,
+                            jnp.where(live, own_a, 0)[perm_b], 0)
+        wc_cm = jnp.stack(
+            [wildcards[k] for k in wc_names]
+            + [zero] * (WCB_W - len(wc_names)),
+            axis=1,
+        )
+        wcb = gather_rows(wc_cm, perm_b).T
+
+    return ContactTable(
+        idA=idA,
+        idB=idB,
+        count=table.count,
+        persist=persist,
+        force=table.force,
+        torque=table.torque,
+        cpoint=table.cpoint,
+        wildcards=wildcards,
+        own_a=own_a,
+        own_b=own_b,
+        perm_b=perm_b,
+        own_b_sorted=own_b_sorted,
+        statics=statics,
+        premix=premix,
+        fstat_a=fstat_a,
+        fstat_b=fstat_b,
+        wcb=wcb,
+        own_a_b=own_a_b,
+    )
+
+
+def _build_statics(kind, cap, live, iA, iB, oa, ob, own_a, own_b,
+                   mat_a, mat_b, owners, spheres, tris, anals):
     cols = [
         own_a.astype(F)[:, None],
         own_b.astype(F)[:, None],
@@ -202,44 +315,11 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
     )
     statics = jnp.concatenate(cols + [rest, tail], axis=1)
     statics = jnp.where(live[:, None], statics, 0.0)
-    # field-major (STATIC_W, cap) storage: the fused Pallas force kernel
-    # streams (32, CH) chunks; row 0 doubles as the live marker (own_a,
-    # -1 for dead rows — the where above zeroed it, so rewrite it)
+    # field-major (STATIC_W, cap) storage (rows = fields, contiguous row
+    # slices); row 0 doubles as the live marker (own_a, -1 for dead rows —
+    # the where above zeroed it, so rewrite it)
     statics = statics.T
-    statics = statics.at[0].set(own_a.astype(F))
-
-    # ---- premixed material properties -------------------------------------
-    premix = {}
-    for name in model.per_material_props:
-        t = params.mat_props[name]
-        premix[name + ":a"] = t[mat_a]
-        premix[name + ":b"] = t[mat_b]
-    for name in model.pairwise_props:
-        premix[name] = params.pair_props[name][mat_a, mat_b]
-
-    # ---- B-side permutation ------------------------------------------------
-    keyB = jnp.where(live, own_b, _I32MAX)
-    keyB_s, perm_b = jax.lax.sort(
-        (keyB, jnp.arange(cap, dtype=I)), num_keys=1
-    )
-    own_b_sorted = jnp.where(keyB_s == _I32MAX, n_owners, keyB_s)
-
-    return ContactTable(
-        idA=idA,
-        idB=idB,
-        count=table.count,
-        persist=persist,
-        force=table.force,
-        torque=table.torque,
-        cpoint=table.cpoint,
-        wildcards=wildcards,
-        own_a=own_a,
-        own_b=own_b,
-        perm_b=perm_b,
-        own_b_sorted=own_b_sorted,
-        statics=statics,
-        premix=premix,
-    )
+    return statics.at[0].set(own_a.astype(F))
 
 
 # ---------------------------------------------------------------------------
@@ -433,15 +513,13 @@ def reduce_wrench_segment(n_owners: int, passes, use_pallas=False):
     and the refresh-built own_b permutation (B side). The TPU answer to
     DEME's sort + reduce-by-key force collection
     (DEMCubForceCollection.cu:19-170, incl. its owner-index caching).
-    With use_pallas the sums run as one-hot MXU matmuls
-    (ops/pallas_segred.py); returns (f_acc, t_acc, spill) where spill
-    means a too-sparse table broke the kernel's window assumption and
-    the engine must fall back to the XLA path."""
+    With use_pallas the sums run as one-hot MXU matmuls over owner blocks
+    (pallas_segred.seg_sum_sorted_blocks — no owner-count limit, no
+    sparse-table spill condition)."""
     if use_pallas:
-        from .pallas_segred import seg_sum_sorted
+        from .pallas_segred import seg_sum_sorted_blocks
 
     acc = jnp.zeros((n_owners, 6), F)
-    spill = jnp.zeros((), bool)
     for p in passes:
         t = p["table"]
         ids_a = jnp.where(t.own_a >= 0, t.own_a, n_owners)
@@ -449,9 +527,9 @@ def reduce_wrench_segment(n_owners: int, passes, use_pallas=False):
         # measured 3.5x SLOWER for full permutations (tools profiling)
         rec_b_s = p["rec_b"][t.perm_b]
         if use_pallas:
-            acc_a, sp_a = seg_sum_sorted(p["rec_a"], ids_a, n_owners)
-            acc_b, sp_b = seg_sum_sorted(rec_b_s, t.own_b_sorted, n_owners)
-            spill = spill | sp_a | sp_b
+            acc_a = seg_sum_sorted_blocks(p["rec_a"], ids_a, n_owners)
+            acc_b = seg_sum_sorted_blocks(
+                rec_b_s, t.own_b_sorted, n_owners)
             acc = acc + acc_a + acc_b
         else:
             acc_a = jax.ops.segment_sum(
@@ -463,4 +541,4 @@ def reduce_wrench_segment(n_owners: int, passes, use_pallas=False):
                 indices_are_sorted=True,
             )
             acc = acc + acc_a[:n_owners] + acc_b[:n_owners]
-    return acc[:, :3], acc[:, 3:], spill
+    return acc[:, :3], acc[:, 3:]

@@ -148,4 +148,8 @@ def carry_history(
         own_b_sorted=old.own_b_sorted,
         statics=old.statics,
         premix=old.premix,
+        fstat_a=old.fstat_a,
+        fstat_b=old.fstat_b,
+        wcb=old.wcb,
+        own_a_b=old.own_a_b,
     ), n_lost

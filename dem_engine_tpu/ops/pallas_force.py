@@ -5,32 +5,35 @@ ONE kernel per contact (calculateContactForces, DEMCalcForceKernels.cu:44-267)
 feeding a cached-index reduce (DEMCubForceCollection.cu:19-170). Round 2's
 XLA step instead round-tripped the contact table through HBM between the
 narrow phase, the friction/wildcard chain, the table update and the wrench
-emission — the builder-measured ~50 ms of a 114 ms step at 262k clumps.
+emission.
 
-This kernel is the TPU re-expression of that single pass, organized around
-the table's owner-sorted invariant:
+Round-3 design: the step is TWO passes of the same kernel, one per owner
+side, and the per-step B-side permutation (measured 72 ms at 3.9M contacts
+— 55% of the round-2 fused step) is GONE:
 
-  * grid = blocks of OB consecutive owners. Each block's contact rows are
-    the contiguous range [cstart, cend) (one XLA searchsorted), walked in
-    CH-wide chunks DMA'd from HBM.
-  * the A-side kinematic gather AND the A-side wrench reduction are the
-    SAME one-hot matmul: E[o, j] = (own_a[j] == block_lo + o), so
-    A_kin = krec_block @ E and acc += rec_a @ E^T, both on the MXU. The
-    krec block is a statically-mapped VMEM input — no window can ever
-    spill, for any owner count (this removes round 2's 350k-owner gate).
-  * all math runs field-major on (1, CH) rows: statics (32, CH) chunks,
-    premixed materials, wildcards, and the XLA-pre-gathered B kinematics
-    stream through VMEM; new wildcards and the B-side wrench records
-    stream back out. Nothing per-contact is materialized in HBM between
-    stages.
+  * pass A runs over the own_a-sorted layout (fstat_a/wildcard dict),
+    pass B over the refresh-built own_b-sorted layout (fstat_b/wcb, i.e.
+    the perm_b row order). Each pass reduces ITS side's wrench in-kernel.
+  * grid = blocks of OB consecutive owners of the reducing side. Each
+    block's contact rows are the contiguous range [cstart, cend) (one XLA
+    searchsorted), walked in CH-wide chunks DMA'd from HBM.
+  * the reducing side's kinematic gather AND its wrench reduction are the
+    SAME one-hot matmul: E[o, j] = (own[j] == block_lo + o), so
+    kin = krec_block @ E and acc += rec @ E^T, both on the MXU. The krec
+    block is a statically-mapped VMEM input — no window can ever spill,
+    for any owner count. The OTHER side's kinematics are one XLA row
+    gather, streamed through VMEM.
+  * per-contact constants stream as ONE slim 16-row record (state.FSTAT_W:
+    geometry + premixed E_eff/G_eff/CoR/mu/Crr — half of round 2's 32-row
+    statics + 8-row premix traffic).
+  * both passes read their own layout's OLD wildcards and write their own
+    layout's NEW wildcards. The updates are bitwise-identical functions of
+    identical values (the one-hot matmul at HIGHEST precision is an exact
+    row select), so the two copies never diverge between refreshes.
   * chunks shared between adjacent owner blocks are visited twice with
-    complementary one-hot masks; per-row outputs for a shared chunk are
+    complementary one-hot masks; wildcard outputs for a shared chunk are
     read back and merged so each row's final value comes from the block
     that owns it (the grid is sequential, so this is race-free).
-
-The B-side reduction stays outside: rec_b rows are permuted into
-own_b-sorted order (refresh-built permutation) and summed by the
-owner-block segment-sum kernel (pallas_segred.seg_sum_sorted_blocks).
 
 Physics parity: the math mirrors models/hertz.py line for line (itself the
 re-derivation of FullHertzianForceModel.cu / FrictionlessHertzianForceModel
@@ -39,8 +42,6 @@ re-derivation of FullHertzianForceModel.cu / FrictionlessHertzianForceModel
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -59,12 +60,10 @@ _PI = 3.14159265358979323846
 # kinematic record rows (matches forces.KREC_W layout)
 # [0:3] vox  [3:6] loc  [6:10] quat  [10:13] vel  [13:16] omg
 
-# statics rows (forces.finalize_table, kind == "ss")
-# [0] own_a  [1] own_b  [2:5] relposA  [5] radA  [8:11] relposB  [11] radB
-# [17] massA [18] massB
-
-# premix rows (forces.premix_names for the Hertz models)
-# [0] E:a [1] E:b [2] nu:a [3] nu:b [4] CoR [5] mu [6] Crr
+# fstat rows (state.FSTAT_W; forces.finalize_table):
+# [0] own_key (-1 dead)  [1] radA  [2:5] relposA  [5:8] relposB
+# [8] radB  [9] massA  [10] massB
+# [11] E_eff  [12] G_eff  [13] CoR  [14] mu  [15] Crr
 
 # wildcard rows (sorted contact_wildcards of the full Hertz model)
 # [0] delta_tan_x [1] delta_tan_y [2] delta_tan_z [3] delta_time
@@ -135,17 +134,19 @@ def _rot_inv(q, v):
 # ---------------------------------------------------------------------------
 
 
-def _hertz_rows(s, p, w, Ak, Bk, h, voxel_size, with_friction):
-    """s (32, CH) statics, p (8, CH) premix, w (8, CH) wildcards (or None),
-    Ak/Bk (16, CH) kinematics. Returns (rec_a (8, CH), rec_b (8, CH),
-    wc_new (8, CH) or None, live (1, CH) bool)."""
+def _hertz_rows(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
+                extras=False):
+    """s (FSTAT_W, CH) slim statics, w (8, CH) wildcards (or None),
+    Ak/Bk (16, CH) kinematics. Returns (rec (8, CH) wrench record of the
+    reducing side, wc_new (8, CH) or None, live (1, CH) bool[, ext (16,CH)
+    per-contact force/torque/cpoint when extras])."""
     avox, aloc = _v3(Ak, 0), _v3(Ak, 3)
     aq, avel, aomg = _q4(Ak, 6), _v3(Ak, 10), _v3(Ak, 13)
     bvox, bloc = _v3(Bk, 0), _v3(Bk, 3)
     bq, bvel, bomg = _q4(Bk, 6), _v3(Bk, 10), _v3(Bk, 13)
-    relA, radA = _v3(s, 2), s[5:6, :]
-    relB, radB = _v3(s, 8), s[11:12, :]
-    mA, mB = s[17:18, :], s[18:19, :]
+    radA, relA = s[1:2, :], _v3(s, 2)
+    relB, radB = _v3(s, 5), s[8:9, :]
+    mA, mB = s[9:10, :], s[10:11, :]
     live = s[0:1, :] >= 0.0
 
     # B position relative to owner A CoM (exact voxel-int difference)
@@ -167,14 +168,9 @@ def _hertz_rows(s, p, w, Ak, Bk, h, voxel_size, with_friction):
     in_contact = overlap > 0.0
     ovl = jnp.maximum(overlap, 0.0)
 
-    # material mix (models/force_model.hertz_material_mix)
-    Ea, Eb, nua, nub = p[0:1, :], p[1:2, :], p[2:3, :], p[3:4, :]
-    CoR = p[4:5, :]
-    inv_E = (1.0 - nua * nua) / Ea + (1.0 - nub * nub) / Eb
-    E_eff = 1.0 / inv_E
-    inv_G = (2.0 * (2.0 - nua) * (1.0 + nua) / Ea
-             + 2.0 * (2.0 - nub) * (1.0 + nub) / Eb)
-    G_eff = 1.0 / inv_G
+    # premixed effective moduli (forces.finalize_table)
+    E_eff, G_eff = s[11:12, :], s[12:13, :]
+    CoR = s[13:14, :]
 
     # contact-point velocities (ContactContext.rot_vel_cp_global)
     lcp_a = _rot_inv(aq, cp)
@@ -199,7 +195,7 @@ def _hertz_rows(s, p, w, Ak, Bk, h, voxel_size, with_friction):
     wc_new = None
 
     if with_friction:
-        mu, Crr = p[5:6, :], p[6:7, :]
+        mu, Crr = s[14:15, :], s[15:16, :]
         dtan = (w[0:1, :], w[1:2, :], w[2:3, :])
         dtan = _add3(dtan, _scale3(vrel_tan, h))
         disp_proj = _dot3(dtan, b2a)
@@ -267,16 +263,28 @@ def _hertz_rows(s, p, w, Ak, Bk, h, voxel_size, with_friction):
     force = _where3(in_contact & live, force, 0.0)
     torque_only = _where3(in_contact & live, torque_only, 0.0)
     f_tot = _add3(force, torque_only)
-    tq_a = _cross3(lcp_a, _rot_inv(aq, f_tot))
-    tq_b = _cross3(lcp_b, _rot_inv(bq, _neg3(f_tot)))
     zero = jnp.zeros_like(f_n)
-    rec_a = jnp.concatenate(
-        list(force) + [jnp.where(live, t, 0.0) for t in tq_a]
-        + [zero, zero], axis=0)
-    rec_b = jnp.concatenate(
-        [-f for f in force] + [jnp.where(live, t, 0.0) for t in tq_b]
-        + [zero, zero], axis=0)
-    return rec_a, rec_b, wc_new, live
+    if side_b:
+        tq_b = _cross3(lcp_b, _rot_inv(bq, _neg3(f_tot)))
+        rec = jnp.concatenate(
+            [-f for f in force] + [jnp.where(live, t, 0.0) for t in tq_b]
+            + [zero, zero], axis=0)
+    else:
+        tq_a = _cross3(lcp_a, _rot_inv(aq, f_tot))
+        rec = jnp.concatenate(
+            list(force) + [jnp.where(live, t, 0.0) for t in tq_a]
+            + [zero, zero], axis=0)
+    if extras:
+        lv = in_contact & live
+        ext = jnp.concatenate(
+            list(force)
+            + [jnp.where(lv, t, 0.0) for t in torque_only]
+            + [jnp.where(lv, c, 0.0) for c in cp]
+            + [zero] * 7,
+            axis=0,
+        )
+        return rec, wc_new, live, ext
+    return rec, wc_new, live
 
 
 # ---------------------------------------------------------------------------
@@ -284,16 +292,22 @@ def _hertz_rows(s, p, w, Ak, Bk, h, voxel_size, with_friction):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(ch, ob, voxel_size, with_friction):
-    def kernel(cr_ref, krec_ref, stat_hbm, prem_hbm, *rest):
-        if with_friction:
-            (wc_hbm, bt_hbm, hs_ref, acc_ref, wcout_hbm, recb_hbm,
-             stat_s, prem_s, wc_s, bt_s, wcob_s, recb_s, wcrb_s,
-             recbrb_s, sems) = rest
-        else:
-            (bt_hbm, hs_ref, acc_ref, recb_hbm,
-             stat_s, prem_s, bt_s, recb_s, recbrb_s, sems) = rest
-            wc_hbm = wc_s = wcout_hbm = wcob_s = wcrb_s = None
+def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False):
+    def kernel(cr_ref, krec_ref, fstat_hbm, *rest):
+        it = iter(rest)
+        wc_hbm = next(it) if with_friction else None
+        ot_hbm = next(it)
+        hs_ref = next(it)
+        acc_ref = next(it)
+        wcout_hbm = next(it) if with_friction else None
+        ext_hbm = next(it) if extras else None
+        fstat_s = next(it)
+        wc_s = next(it) if with_friction else None
+        ot_s = next(it)
+        wcob_s = next(it) if with_friction else None
+        wcrb_s = next(it) if with_friction else None
+        ext_s = next(it) if extras else None
+        sems = next(it)
 
         i = pl.program_id(0)
         cstart = cr_ref[2 * i]
@@ -307,11 +321,9 @@ def _make_kernel(ch, ob, voxel_size, with_friction):
             off = pl.multiple_of(c * ch, ch)
             cps = [
                 pltpu.make_async_copy(
-                    stat_hbm.at[:, pl.ds(off, ch)], stat_s, sems.at[0]),
+                    fstat_hbm.at[:, pl.ds(off, ch)], fstat_s, sems.at[0]),
                 pltpu.make_async_copy(
-                    prem_hbm.at[:, pl.ds(off, ch)], prem_s, sems.at[1]),
-                pltpu.make_async_copy(
-                    bt_hbm.at[:, pl.ds(off, ch)], bt_s, sems.at[2]),
+                    ot_hbm.at[:, pl.ds(off, ch)], ot_s, sems.at[2]),
             ]
             if with_friction:
                 cps.append(pltpu.make_async_copy(
@@ -321,29 +333,24 @@ def _make_kernel(ch, ob, voxel_size, with_friction):
 
             # shared-boundary merge: the first chunk of this block may also
             # be the last chunk of the previous block, which already wrote
-            # it (with garbage for OUR rows — its A-kinematics window does
-            # not cover them). Read its output back and keep its values for
-            # the rows it owns. Non-first chunks never look at the readback
-            # (their merge mask is all-mine).
+            # it (with garbage for OUR rows — its one-hot kinematics window
+            # does not cover them). Read its output back and keep its
+            # values for the rows it owns.
             merge = (c == c0) & (cstart % ch != 0)
 
-            @pl.when(merge)
-            def _():
-                rb = [pltpu.make_async_copy(
-                    recb_hbm.at[:, pl.ds(off, ch)], recbrb_s, sems.at[4])]
-                if with_friction:
-                    rb.append(pltpu.make_async_copy(
+            if with_friction:
+                @pl.when(merge)
+                def _():
+                    rb = pltpu.make_async_copy(
                         wcout_hbm.at[:, pl.ds(off, ch)], wcrb_s,
-                        sems.at[5]))
-                for cp in rb:
-                    cp.start()
-                for cp in rb:
-                    cp.wait()
+                        sems.at[5])
+                    rb.start()
+                    rb.wait()
 
             for cp in cps:
                 cp.wait()
 
-            s = stat_s[...]
+            s = fstat_s[...]
             own = s[0:1, :].astype(jnp.int32)
             rel = own - block_lo
             inblk = (s[0:1, :] >= 0.0) & (rel >= 0) & (rel < ob)
@@ -351,22 +358,25 @@ def _make_kernel(ch, ob, voxel_size, with_friction):
                  & inblk).astype(F)                       # (ob, ch)
             # HIGHEST: default MXU precision rounds inputs to bf16,
             # which destroys the voxel-int rows of the kinematic records
-            Ak = jax.lax.dot_general(
+            kin = jax.lax.dot_general(
                 krec_ref[...], E, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )                                             # (16, ch)
+            Ak, Bk = (ot_s[...], kin) if side_b else (kin, ot_s[...])
 
-            rec_a, rec_b, wc_new, live = _hertz_rows(
-                s, prem_s[...], wc_s[...] if with_friction else None,
-                Ak, bt_s[...], h, voxel_size, with_friction,
+            out = _hertz_rows(
+                s, wc_s[...] if with_friction else None,
+                Ak, Bk, h, voxel_size, with_friction, side_b,
+                extras=extras,
             )
+            rec, wc_new, live = out[0], out[1], out[2]
 
-            # A-side reduce through the same one-hot (select first: NaNs
-            # from out-of-block rows must not ride a 0-weight product)
-            rec_a = jnp.where(inblk, rec_a, 0.0)
+            # reduce through the same one-hot (select first: NaNs from
+            # out-of-block rows must not ride a 0-weight product)
+            rec = jnp.where(inblk, rec, 0.0)
             acc = acc + jax.lax.dot_general(
-                rec_a, E, (((1,), (1,)), ((), ())),
+                rec, E, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )                                             # (8, ob)
@@ -374,15 +384,17 @@ def _make_kernel(ch, ob, voxel_size, with_friction):
             # per-row outputs; rows before cstart keep the previous
             # block's values (they are his), rows after cend get fixed by
             # the next block's merge
-            slot = off + jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
-            mine = slot >= cstart
-            recb_s[...] = jnp.where(mine, rec_b, recbrb_s[...])
-            wr = [pltpu.make_async_copy(
-                recb_s, recb_hbm.at[:, pl.ds(off, ch)], sems.at[6])]
+            wr = []
             if with_friction:
+                slot = off + jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
+                mine = slot >= cstart
                 wcob_s[...] = jnp.where(mine, wc_new, wcrb_s[...])
                 wr.append(pltpu.make_async_copy(
                     wcob_s, wcout_hbm.at[:, pl.ds(off, ch)], sems.at[7]))
+            if extras:
+                ext_s[...] = jnp.where(inblk, out[3], 0.0)
+                wr.append(pltpu.make_async_copy(
+                    ext_s, ext_hbm.at[:, pl.ds(off, ch)], sems.at[6]))
             for cp in wr:
                 cp.start()
             for cp in wr:
@@ -396,22 +408,26 @@ def _make_kernel(ch, ob, voxel_size, with_friction):
     return kernel
 
 
-def fused_hertz_ss(statics, premixT, wcT, krecT, btT, cr, n_blocks, h,
-                   voxel_size, with_friction, interpret=False,
-                   ch=None, ob=None):
-    """Run the fused force pass. All array layouts are field-major:
+def fused_hertz_pass(fstat, wcT, krecT, otT, cr, n_blocks, h,
+                     voxel_size, with_friction, side_b, interpret=False,
+                     ch=None, ob=None, extras=False):
+    """Run one fused force pass over one owner-sorted layout. All array
+    layouts are field-major:
 
-      statics (32, capp), premixT (8, capp), wcT (8, capp) or None,
-      krecT (16, n_blocks*ob), btT (16, capp) B-side kinematics,
+      fstat (FSTAT_W, capp) slim statics of this layout,
+      wcT (8, capp) this layout's wildcards or None,
+      krecT (16, n_blocks*ob) owner kinematic records (one-hot side),
+      otT (16, capp) other-side kinematics (pre-gathered),
       cr (2*n_blocks,) i32 per-block [cstart, cend) contact ranges,
       h: f32[] traced step size.
 
-    Returns (accT (8, n_blocks*ob) A-side owner wrenches,
-             wc_outT (8, capp) or None, rec_bT (8, capp) field-major).
+    Returns (accT (8, n_blocks*ob) reduced owner wrenches of this side,
+             wc_outT (8, capp) or None[, extT (16, capp) per-contact
+             force/torque_only/cpoint rows when extras]).
     """
     ch = ch or CH
     ob = ob or OB
-    capp = statics.shape[1]
+    capp = fstat.shape[1]
     assert capp % ch == 0, capp
     hs = jnp.reshape(h.astype(F), (1, 1))
 
@@ -419,14 +435,13 @@ def fused_hertz_ss(statics, premixT, wcT, krecT, btT, cr, n_blocks, h,
         pl.BlockSpec((16, ob), lambda i, b: (0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.HBM),
-        pl.BlockSpec(memory_space=pltpu.HBM),
     ]
-    inputs = [krecT, statics, premixT]
+    inputs = [krecT, fstat]
     if with_friction:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         inputs.append(wcT)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-    inputs.append(btT)
+    inputs.append(otT)
     in_specs.append(pl.BlockSpec((1, 1), lambda i, b: (0, 0),
                                  memory_space=pltpu.SMEM))
     inputs.append(hs)
@@ -437,26 +452,24 @@ def fused_hertz_ss(statics, premixT, wcT, krecT, btT, cr, n_blocks, h,
     if with_friction:
         out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         out_shape.append(jax.ShapeDtypeStruct((8, capp), F))
-    out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-    out_shape.append(jax.ShapeDtypeStruct((8, capp), F))
+    if extras:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        out_shape.append(jax.ShapeDtypeStruct((16, capp), F))
 
-    scratch = [
-        pltpu.VMEM((32, ch), jnp.float32),   # statics
-        pltpu.VMEM((8, ch), jnp.float32),    # premix
-    ]
+    scratch = [pltpu.VMEM((fstat.shape[0], ch), jnp.float32)]
     if with_friction:
         scratch.append(pltpu.VMEM((8, ch), jnp.float32))   # wildcards in
-    scratch.append(pltpu.VMEM((16, ch), jnp.float32))      # B kinematics
+    scratch.append(pltpu.VMEM((16, ch), jnp.float32))      # other-side kin
     if with_friction:
         scratch.append(pltpu.VMEM((8, ch), jnp.float32))   # wc out buffer
-    scratch.append(pltpu.VMEM((8, ch), jnp.float32))       # rec_b buffer
-    if with_friction:
         scratch.append(pltpu.VMEM((8, ch), jnp.float32))   # wc readback
-    scratch.append(pltpu.VMEM((8, ch), jnp.float32))       # rec_b readback
+    if extras:
+        scratch.append(pltpu.VMEM((16, ch), jnp.float32))  # extras buffer
     scratch.append(pltpu.SemaphoreType.DMA((8,)))
 
     out = pl.pallas_call(
-        _make_kernel(ch, ob, float(voxel_size), with_friction),
+        _make_kernel(ch, ob, float(voxel_size), with_friction, side_b,
+                     extras=extras),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_blocks,),
@@ -467,27 +480,40 @@ def fused_hertz_ss(statics, premixT, wcT, krecT, btT, cr, n_blocks, h,
         out_shape=tuple(out_shape),
         interpret=interpret,
     )(cr, *inputs)
-    if with_friction:
-        return out[0], out[1], out[2]
-    return out[0], None, out[1]
+    acc = out[0]
+    wc_out = out[1] if with_friction else None
+    ext = out[-1] if extras else None
+    return (acc, wc_out, ext) if extras else (acc, wc_out)
 
 
 # ---------------------------------------------------------------------------
-# step-level wrapper: layout prep + B-side reduce
+# step-level wrapper: layout prep + the two passes
 # ---------------------------------------------------------------------------
+
+
+def _pad_cols(m, pad, dead_row0=False):
+    if not pad:
+        return m
+    padc = jnp.zeros((m.shape[0], pad), F)
+    if dead_row0:
+        padc = padc.at[0].set(-1.0)
+    return jnp.concatenate([m, padc], axis=1)
 
 
 def fused_step_ss(table, owners, params, voxel_size, model, krec,
-                  interpret=None):
+                  interpret=None, extras=False):
     """One fused force step over the SS table. Returns
     (f_acc (N,3), t_acc (N,3), new_table).
 
     The caller guarantees the table came out of forces.finalize_table
-    (owner-sorted, field-major statics, valid perm_b/own_b_sorted) and that
+    (owner-sorted, fstat_a/fstat_b/wcb/own_a_b layouts present) and that
     the model is one of the built-in Hertz variants (model.fused_variant).
+    With `extras` the A pass additionally emits per-contact force /
+    torque_only / cpoint into the table (query support — costs one extra
+    16-row output stream, so the hot loop leaves it off).
     """
     from . import forces
-    from .pallas_segred import owner_block_ranges, seg_sum_sorted_blocks
+    from .pallas_segred import owner_block_ranges
 
     if interpret is None:  # Mosaic needs hardware; tests run on CPU
         interpret = jax.default_backend() == "cpu"
@@ -496,37 +522,22 @@ def fused_step_ss(table, owners, params, voxel_size, model, krec,
     cap = table.cap
     pad = (-cap) % CH
     capp = cap + pad
-
-    statics = table.statics
-    if pad:
-        statics = jnp.concatenate(
-            [statics, jnp.zeros((statics.shape[0], pad), F).at[0].set(-1.0)],
-            axis=1,
-        )
-
-    pn = forces.premix_names(model)
-    prows = [table.premix[n] for n in pn]
-    prows += [jnp.zeros((cap,), F)] * (8 - len(prows))
-    premixT = jnp.stack(prows, axis=0)
-    if pad:
-        premixT = jnp.concatenate(
-            [premixT, jnp.zeros((8, pad), F)], axis=1)
-
-    wcT = None
+    live = table.idA >= 0
     wc_names = sorted(table.wildcards)
+
+    # ---- pass A: own_a-sorted layout --------------------------------------
+    fstatA = _pad_cols(table.fstat_a, pad, dead_row0=True)
+    wcT = None
     if with_friction:
         wrows = [table.wildcards[n] for n in wc_names]
         wrows += [jnp.zeros((cap,), F)] * (8 - len(wrows))
-        wcT = jnp.stack(wrows, axis=0)
-        if pad:
-            wcT = jnp.concatenate([wcT, jnp.zeros((8, pad), F)], axis=1)
+        wcT = _pad_cols(jnp.stack(wrows, axis=0), pad)
 
-    live = table.idA >= 0
     ids_a = jnp.where(table.own_a >= 0, table.own_a, n_owners)
     if pad:
         ids_a = jnp.concatenate(
             [ids_a, jnp.full((pad,), n_owners, I)], axis=0)
-    cr, n_blocks = owner_block_ranges(ids_a, n_owners, OB)
+    cr_a, n_blocks = owner_block_ranges(ids_a, n_owners, OB)
 
     npad = n_blocks * OB
     krecT = jnp.concatenate(
@@ -534,32 +545,47 @@ def fused_step_ss(table, owners, params, voxel_size, model, krec,
     ).T
 
     own_b = jnp.where(live, table.own_b, 0)
-    bt = forces.gather_rows(krec, own_b)
-    btT = bt.T
+    btT = _pad_cols(forces.gather_rows(krec, own_b).T, pad)
+
+    outA = fused_hertz_pass(
+        fstatA, wcT, krecT, btT, cr_a, n_blocks, params.h,
+        voxel_size, with_friction, side_b=False, interpret=interpret,
+        extras=extras,
+    )
+    accA, wcA_out = outA[0], outA[1]
+
+    # ---- pass B: own_b-sorted layout --------------------------------------
+    fstatB = _pad_cols(table.fstat_b, pad, dead_row0=True)
+    wcbT = _pad_cols(table.wcb, pad) if with_friction else None
+    ids_b = jnp.minimum(table.own_b_sorted, n_owners)
     if pad:
-        btT = jnp.concatenate([btT, jnp.zeros((16, pad), F)], axis=1)
+        ids_b = jnp.concatenate(
+            [ids_b, jnp.full((pad,), n_owners, I)], axis=0)
+    cr_b, _ = owner_block_ranges(ids_b, n_owners, OB)
+    atT = _pad_cols(forces.gather_rows(krec, table.own_a_b).T, pad)
 
-    accT, wc_outT, rec_b = fused_hertz_ss(
-        statics, premixT, wcT, krecT, btT, cr, n_blocks, params.h,
-        voxel_size, with_friction, interpret=interpret,
+    accB, wcB_out = fused_hertz_pass(
+        fstatB, wcbT, krecT, atT, cr_b, n_blocks, params.h,
+        voxel_size, with_friction, side_b=True, interpret=interpret,
     )
 
-    # B side: permute into own_b-sorted order, owner-block segment sum.
-    # Rows past the processed range are uninitialized — mask before use.
-    rec_b = jnp.where(live[:, None], rec_b[:, :cap].T, 0.0)
-    rec_b_sorted = rec_b[table.perm_b]
-    acc_b = seg_sum_sorted_blocks(
-        rec_b_sorted[:, :6], table.own_b_sorted, n_owners,
-        interpret=interpret,
-    )
-
-    acc_a = accT[:6, :n_owners].T
-    f_acc = acc_a[:, 0:3] + acc_b[:, 0:3]
-    t_acc = acc_a[:, 3:6] + acc_b[:, 3:6]
+    acc = (accA + accB)[:6, :n_owners].T
+    f_acc = acc[:, 0:3]
+    t_acc = acc[:, 3:6]
 
     new_wc = dict(table.wildcards)
+    wcb = table.wcb
     if with_friction:
         for k, name in enumerate(wc_names):
-            new_wc[name] = jnp.where(live, wc_outT[k, :cap], 0.0)
-    new_table = table.replace(wildcards=new_wc)
+            new_wc[name] = jnp.where(live, wcA_out[k, :cap], 0.0)
+        live_b = table.own_b_sorted < n_owners
+        wcb = jnp.where(live_b[None, :], wcB_out[:, :cap], 0.0)
+    new_table = table.replace(wildcards=new_wc, wcb=wcb)
+    if extras:
+        ext = outA[2]
+        new_table = new_table.replace(
+            force=ext[0:3, :cap].T,
+            torque=ext[3:6, :cap].T,
+            cpoint=ext[6:9, :cap].T,
+        )
     return f_acc, t_acc, new_table

@@ -65,6 +65,18 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "shard",
             return NamedSharding(mesh, spec)
         return repl
 
+    def shard_tbl(x):
+        # field-major table arrays (statics/fstat/wcb: <=32 rows = fields,
+        # columns = contacts) shard on the CONTACT axis so every 1-D
+        # contact array and every field-major array use the same contact
+        # partition; contact-major 2-D arrays (force (C,3)) shard on
+        # axis 0 via shard0
+        if hasattr(x, "ndim") and x.ndim == 2 and x.shape[0] <= 32:
+            if x.shape[1] > 32 and x.shape[1] % n == 0:
+                return NamedSharding(mesh, P(None, axis))
+            return repl
+        return shard0(x)
+
     def repl_fn(x):
         return repl
 
@@ -74,9 +86,9 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "shard",
         spheres=jax.tree_util.tree_map(shard0, state.spheres),
         tris=jax.tree_util.tree_map(repl_fn, state.tris),
         anals=jax.tree_util.tree_map(repl_fn, state.anals),
-        ss=jax.tree_util.tree_map(shard0, state.ss),
-        st=jax.tree_util.tree_map(shard0, state.st),
-        sa=jax.tree_util.tree_map(shard0, state.sa),
+        ss=jax.tree_util.tree_map(shard_tbl, state.ss),
+        st=jax.tree_util.tree_map(shard_tbl, state.st),
+        sa=jax.tree_util.tree_map(shard_tbl, state.sa),
         time=repl,
         step=repl,
         overflow=repl,

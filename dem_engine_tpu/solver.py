@@ -35,7 +35,6 @@ from .state import (
     OVF_SA_CAP,
     OVF_SS_CAP,
     OVF_ST_CAP,
-    OVF_SEGRED,
     OVF_SPATIAL_BUCKET,
     OVF_ST_OCC,
     OVF_TRI_BINS,
@@ -190,7 +189,8 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         ss = _mark_persistent(ss, sph_family, sph_family, params)
     overflow = jnp.where(n_ss > cfg.cap_ss, OVF_SS_CAP, 0).astype(I)
     ss = forces.finalize_table("ss", ss, owners, spheres, tris, anals,
-                               params, cfg.force_model)
+                               params, cfg.force_model,
+                               slim=cfg.use_fused_force)
     overflow |= jnp.where(ss.count > cfg.cap_ss, OVF_SS_CAP, 0)
     ss = ss.replace(count=jnp.minimum(ss.count, cfg.cap_ss))
     if cfg.use_pallas_sweep and not spatial:
@@ -294,26 +294,6 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         sa = state.sa
         lost_sa = jnp.zeros((), I)
 
-    # pre-flight the Pallas segment-reduce window: a too-sparse table (one
-    # input tile spanning more owners than the one-hot window) would make
-    # every step's reduction invalid, and the step programs donate their
-    # inputs so it could not be rewound after the fact (ADVICE r2 #1)
-    if cfg.reduce_mode == "segment" and cfg.use_pallas_reduce:
-        from .ops.pallas_segred import would_spill
-
-        # the fused force pass reduces the SS table with the owner-block
-        # kernel (no window to spill); only the v1 one-hot path needs the
-        # pre-flight
-        fused_ss = (cfg.use_fused_force
-                    and cfg.force_model.fused_variant is not None)
-        spill = jnp.zeros((), bool)
-        for t in ([st, sa] if fused_ss else [ss, st, sa]):
-            if t.cap:
-                ids_a = jnp.where(t.own_a >= 0, t.own_a, owners.n)
-                spill |= would_spill(ids_a, owners.n)
-                spill |= would_spill(t.own_b_sorted, owners.n)
-        overflow |= jnp.where(spill, OVF_SEGRED, 0)
-
     overflow |= jnp.where(~(max_vel <= params.error_out_vel), OVF_VEL, 0)
     # sanity check mirroring the reference's avg-contacts-per-sphere
     # error-out (DEMCubContactDetection.cu:882-892)
@@ -374,9 +354,8 @@ def dynamics_step(state: SimState, params: RuntimeParams,
 
     ovf = state.overflow
     if cfg.reduce_mode == "segment":
-        f_acc, t_acc, spill = forces.reduce_wrench_segment(
+        f_acc, t_acc = forces.reduce_wrench_segment(
             owners.n, passes, use_pallas=cfg.use_pallas_reduce)
-        ovf = ovf | jnp.where(spill, OVF_SEGRED, 0)
     else:
         f_acc, t_acc = forces.reduce_wrench(owners.n, passes)
     if fused_acc is not None:
@@ -423,8 +402,8 @@ def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
         s = refresh_contacts(s, params, cfg, mesh=mesh)
         ovf = s.overflow
         s = run_steps(s, params, cfg, k)
-        # keep any step-time flags (e.g. OVF_SEGRED) ORed in rather than
-        # resetting to the post-refresh value (ADVICE r2 #1)
+        # keep any step-time flags ORed in rather than resetting to the
+        # post-refresh value (ADVICE r2 #1)
         return s.replace(overflow=ovf | s.overflow), None
 
     def chunk_acc(s, _):
@@ -442,7 +421,7 @@ def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
 # ---------------------------------------------------------------------------
 
 _CAP_OVF = (OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC
-            | OVF_TRI_BINS | OVF_ST_OCC | OVF_PALLAS_WIN | OVF_SEGRED
+            | OVF_TRI_BINS | OVF_ST_OCC | OVF_PALLAS_WIN
             | OVF_SPATIAL_BUCKET)
 
 
@@ -464,11 +443,13 @@ def estimate_hbm_peak(state: SimState, cfg: SolverConfig) -> Dict[str, float]:
     W = len(cfg.force_model.contact_wildcards)
     # refresh: pallas-sweep output (spad,128 i32) + sorted record tables +
     # decode gathers + history sort-merge (2cap x (4+W) ops, two buffers)
-    # + finalize sort ((6+W) ops) + statics/premix rebuild
-    refresh_b = spad * 768 + cap * (100 + (4 + W) * 16 + (6 + W) * 8 + 160)
-    # step: B-kinematics gather + transposes + rec_b (2 copies through the
-    # permute) + wildcard double-buffer + reduce records
-    step_b = cap * (64 * 2 + 32 * 3 + 32 * 2)
+    # + finalize sort ((6+W) ops) + statics/premix + fused-layout rebuild
+    # (fstat_a + fstat_b gather + wcb gather, 2 buffers each)
+    refresh_b = spad * 768 + cap * (100 + (4 + W) * 16 + (6 + W) * 8 + 160
+                                    + (2 * 64 + 2 * 32 + 2 * 64))
+    # step: two other-side kinematic gathers + transposes + wildcard
+    # double-buffers of both layouts + one-hot acc blocks
+    step_b = cap * (64 * 2 + 32 * 2 + 32 * 2)
     total = 2 * state_b + max(refresh_b, step_b)
     try:
         stats = jax.devices()[0].memory_stats() or {}
@@ -615,10 +596,6 @@ class Engine:
             # x 7 f32): high polydisperse occupancy with the default 65536
             # chunk allocated tens of GB
             changes["cd_chunk"] = max(256, (1 << 22) // (14 * mpb_new))
-        if ovf & OVF_SEGRED:
-            # a contact tile spanned more owners than the one-hot reduce
-            # window (very sparse table): use the XLA segment sums
-            changes["use_pallas_reduce"] = False
         if ovf & OVF_SPATIAL_BUCKET:
             n_dev = self.mesh.devices.size if self.mesh is not None else 1
             auto = max(128,

@@ -141,6 +141,17 @@ class Analyticals:
 # width of the packed per-contact static record (see forces.build_statics)
 STATIC_W = 32
 
+# width of the slim fused-kernel static record (see forces.finalize_table):
+#   [0] own_key (-1 dead)  [1] radA  [2:5] relposA  [5:8] relposB
+#   [8] radB  [9] massA  [10] massB
+#   [11] E_eff  [12] G_eff  [13] CoR  [14] mu  [15] Crr
+# (E_eff/G_eff are premixed at refresh — the per-step kernel math starts
+# from the effective moduli, saving 4 streamed rows vs raw E/nu pairs)
+FSTAT_W = 16
+
+# field-major wildcard rows carried for the fused pass's B-sorted layout
+WCB_W = 8
+
 
 @pytree_dataclass
 class ContactTable:
@@ -171,9 +182,19 @@ class ContactTable:
     perm_b: jnp.ndarray    # i32[C] row permutation sorting by own_b
     own_b_sorted: jnp.ndarray  # i32[C] own_b[perm_b]; dead -> n_owners
     statics: jnp.ndarray   # f32[STATIC_W,C] denormalized statics, FIELD-major
-                           # (rows = fields: the Pallas force kernel reads
-                           # (32, CH) chunks with full-lane vectors)
+                           # (rows = fields: the XLA contact_pass reads row
+                           # slices); shape (0, C) when the fused pass owns
+                           # this table (slim mode — saves 128 B/contact)
     premix: Dict[str, jnp.ndarray]  # premixed material props, each f32[C]
+    # fused-force-pass layouts (shape (FSTAT_W, C) / (WCB_W, C) when the
+    # model has a fused kernel variant, else (·, 0)): fstat_a follows the
+    # table's own_a-sorted row order; fstat_b / wcb / own_a_b follow the
+    # perm_b (own_b-sorted) order so the B-side one-hot wrench reduction
+    # needs no per-step permutation
+    fstat_a: jnp.ndarray   # f32[FSTAT_W, C]
+    fstat_b: jnp.ndarray   # f32[FSTAT_W, C]
+    wcb: jnp.ndarray       # f32[WCB_W, C] B-sorted contact wildcards
+    own_a_b: jnp.ndarray   # i32[C] own_a[perm_b] (B-pass other-side gather)
 
     @property
     def cap(self) -> int:
@@ -181,7 +202,9 @@ class ContactTable:
 
     @staticmethod
     def empty(cap: int, wildcard_names: Tuple[str, ...] = (),
-              premix_names: Tuple[str, ...] = ()) -> "ContactTable":
+              premix_names: Tuple[str, ...] = (), fused: bool = False,
+              slim: bool = False) -> "ContactTable":
+        fcap = cap if fused else 0
         return ContactTable(
             idA=jnp.full((cap,), -1, I),
             idB=jnp.full((cap,), -1, I),
@@ -195,8 +218,13 @@ class ContactTable:
             own_b=jnp.full((cap,), -1, I),
             perm_b=jnp.arange(cap, dtype=I),
             own_b_sorted=jnp.full((cap,), 2**30, I),
-            statics=jnp.zeros((STATIC_W, cap), F).at[0].set(-1.0),
+            statics=(jnp.zeros((0, cap), F) if (fused and slim) else
+                     jnp.zeros((STATIC_W, cap), F).at[0].set(-1.0)),
             premix={k: jnp.zeros((cap,), F) for k in premix_names},
+            fstat_a=jnp.zeros((FSTAT_W, fcap), F).at[0].set(-1.0),
+            fstat_b=jnp.zeros((FSTAT_W, fcap), F).at[0].set(-1.0),
+            wcb=jnp.zeros((WCB_W, fcap), F),
+            own_a_b=jnp.zeros((fcap,), I),
         )
 
     def _resized(self, new_cap: int) -> "ContactTable":
@@ -243,13 +271,29 @@ class ContactTable:
             own_b=sl_fill(self.own_b, -1),
             perm_b=perm_b,
             own_b_sorted=own_b_sorted,
-            statics=(self.statics[:, :new_cap] if new_cap <= cap else
-                     jnp.concatenate(
-                         [self.statics,
-                          jnp.zeros((self.statics.shape[0], new_cap - cap),
-                                    F).at[0].set(-1.0)], axis=1)),
+            statics=self._cols(self.statics, new_cap, dead_row0=True),
             premix={k: sl(v) for k, v in self.premix.items()},
+            fstat_a=self._cols(self.fstat_a, new_cap, dead_row0=True),
+            fstat_b=self._cols(self.fstat_b, new_cap, dead_row0=True),
+            wcb=self._cols(self.wcb, new_cap),
+            own_a_b=sl_fill(self.own_a_b, 0) if self.own_a_b.shape[0]
+            else self.own_a_b,
         )
+
+    def _cols(self, m, new_cap, dead_row0=False):
+        """Resize a field-major (rows, C) array along its column axis.
+        Shrink-slicing fstat_b/wcb columns is valid for the same reason the
+        perm_b head slice is: dead rows sort to the END of the perm order,
+        so live columns survive any shrink that keeps `count` columns."""
+        if m.shape[0] == 0:
+            return m
+        cap = m.shape[1]
+        if new_cap <= cap:
+            return m[:, :new_cap]
+        padc = jnp.zeros((m.shape[0], new_cap - cap), F)
+        if dead_row0:
+            padc = padc.at[0].set(-1.0)
+        return jnp.concatenate([m, padc], axis=1)
 
     def shrunk(self, new_cap: int) -> "ContactTable":
         """Host-side capacity shrink. Safe because live entries are always

@@ -1,6 +1,7 @@
-"""Component timing of the fused step at scale: B-gather, permute,
-kernel F, segred-B, each inside a lax.scan of reps (dispatch floor is
-~15-22 ms, so single-shot timings are noise)."""
+"""Component timing of the dual-pass fused step at scale: the two
+other-side gathers, each kernel pass, and the whole step, each inside a
+lax.scan of reps (dispatch floor is ~15-22 ms, so single-shot timings are
+noise)."""
 
 import argparse
 import time
@@ -17,28 +18,32 @@ compile_cache.enable()
 
 from dem_engine_tpu.defines import F, I
 from dem_engine_tpu.ops import forces
-from dem_engine_tpu.ops.pallas_force import fused_hertz_ss, fused_step_ss, CH, OB
-from dem_engine_tpu.ops.pallas_segred import (
-    owner_block_ranges, seg_sum_sorted_blocks)
+from dem_engine_tpu.ops.pallas_force import (
+    fused_hertz_pass, fused_step_ss, CH, OB)
+from dem_engine_tpu.ops.pallas_segred import owner_block_ranges
 from dem_engine_tpu.solver import refresh_contacts
 from tools.check_fused_tpu import build
 
 
-def timed(name, fn, *args, reps=10):
-    def loop(x):
-        y, _ = jax.lax.scan(lambda c, _: (fn(c), None), x, length=reps)
+def timed(name, fn, x0, *consts, reps=10):
+    """fn(carry, *consts) -> carry. Big operands ride as jit ARGUMENTS —
+    closed-over arrays become serialized constants and blow the remote
+    compile relay's request-size limit at 262k+."""
+    def loop(x, *cs):
+        y, _ = jax.lax.scan(
+            lambda c, _: (fn(c, *cs), None), x, length=reps)
         return y
 
     g = jax.jit(loop)
-    y = g(*args)  # compile + run
+    y = g(x0, *consts)  # compile + run
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), y)
     t0 = time.perf_counter()
-    y = g(*args)
+    y = g(x0, *consts)
     s = 0.0
     for leaf in jax.tree_util.tree_leaves(y):
         s += float(leaf.sum()) if leaf.dtype != jnp.int32 else 0.0
     dt = (time.perf_counter() - t0) / reps * 1e3
-    print(f"{name}: {dt:.2f} ms  (chk {s:.3e})")
+    print(f"{name}: {dt:.2f} ms  (chk {s:.3e})", flush=True)
     return dt
 
 
@@ -58,76 +63,54 @@ def main():
     live = table.idA >= 0
     h = params.h
 
-    def bgather(krec):
-        own_b = jnp.where(table.idA >= 0, table.own_b, 0)
-        bt = forces.gather_rows(krec, own_b)
-        return krec * 1.000001 + bt.sum() * 1e-30
-
-    krec0 = forces.pack_kinematics(owners)
-    timed("B-gather (cap,16)", bgather, krec0)
-
-    def bgather_T(krec):
-        own_b = jnp.where(table.idA >= 0, table.own_b, 0)
-        btT = forces.gather_rows(krec, own_b).T
+    def bgather(krec, ownb):
+        btT = forces.gather_rows(krec, ownb).T
         return krec * 1.000001 + btT.sum() * 1e-30
 
-    timed("B-gather + transpose", bgather_T, krec0)
+    krec0 = forces.pack_kinematics(owners)
+    own_b0 = jnp.where(live, table.own_b, 0)
+    timed("B-gather+T (cap,16)", bgather, krec0, own_b0)
+    timed("A-gather+T (B-pass)", bgather, krec0, table.own_a_b)
 
-    def permute(rec):
-        return rec[table.perm_b] * 1.000001
-
-    rec0 = jnp.ones((cap, 8), F)
-    timed("rec_b permute (cap,8)", permute, rec0)
-
-    def permute_i16(rec):
-        return forces.gather_rows(rec, table.perm_b) * 1.000001
-
-    timed("rec_b permute i16-bitcast", permute_i16, rec0)
-
-    def permute_sortkey(rec):
-        ops = jax.lax.sort(
-            (jnp.where(table.idA >= 0, table.own_b, 2**30),)
-            + tuple(rec[:, i] for i in range(6)), num_keys=1)
-        return rec * 1.000001 + sum(o.sum() for o in ops[1:]) * 1e-30
-
-    timed("rec_b sort-by-ownb (6 payload)", permute_sortkey, rec0)
-
-    def segb(rec):
-        out = seg_sum_sorted_blocks(rec[:, :6], table.own_b_sorted, N)
-        return rec * 1.000001 + out.sum() * 1e-30
-
-    timed("segred-B blocks", segb, rec0)
-
-    # kernel F alone (fixed inputs except krecT chained)
-    pn = forces.premix_names(cfg.force_model)
-    prows = [table.premix[n] for n in pn] + [jnp.zeros((cap,), F)]
-    premixT = jnp.stack(prows, axis=0)
+    # pass A alone (fixed inputs except chained btT)
     wc_names = sorted(table.wildcards)
     wrows = [table.wildcards[n] for n in wc_names]
     wrows += [jnp.zeros((cap,), F)] * (8 - len(wrows))
     wcT = jnp.stack(wrows, axis=0)
     ids_a = jnp.where(table.own_a >= 0, table.own_a, N)
-    cr, n_blocks = owner_block_ranges(ids_a, N, OB)
+    cr_a, n_blocks = owner_block_ranges(ids_a, N, OB)
     npad = n_blocks * OB
     krecT0 = jnp.concatenate(
         [krec0, jnp.zeros((npad - N, 16), F)], axis=0).T
-    own_b = jnp.where(live, table.own_b, 0)
-    btT0 = forces.gather_rows(krec0, own_b).T
+    btT0 = forces.gather_rows(krec0, own_b0).T
 
-    def kern_f(btT):
-        accT, wc_outT, rec_bT = fused_hertz_ss(
-            table.statics, premixT, wcT, krecT0, btT, cr, n_blocks,
-            h, cfg.voxel_size, True)
-        return btT * 1.000001 + accT.sum() * 1e-30 + rec_bT.sum() * 1e-30
+    def pass_a(btT, fstat, wct, krecT, cr):
+        accT, wc_outT = fused_hertz_pass(
+            fstat, wct, krecT, btT, cr, n_blocks,
+            h, cfg.voxel_size, True, side_b=False)
+        return btT * 1.000001 + accT.sum() * 1e-30 + wc_outT.sum() * 1e-30
 
-    timed("kernel F (fused force+A-reduce)", kern_f, btT0)
+    timed("kernel pass A", pass_a, btT0, table.fstat_a, wcT, krecT0, cr_a)
 
-    def whole(krec):
-        f_acc, t_acc, tbl = fused_step_ss(
-            table, owners, params, cfg.voxel_size, cfg.force_model, krec)
+    ids_b = jnp.minimum(table.own_b_sorted, N)
+    cr_b, _ = owner_block_ranges(ids_b, N, OB)
+    atT0 = forces.gather_rows(krec0, table.own_a_b).T
+
+    def pass_b(atT, fstat, wct, krecT, cr):
+        accT, wc_outT = fused_hertz_pass(
+            fstat, wct, krecT, atT, cr, n_blocks,
+            h, cfg.voxel_size, True, side_b=True)
+        return atT * 1.000001 + accT.sum() * 1e-30 + wc_outT.sum() * 1e-30
+
+    timed("kernel pass B", pass_b, atT0, table.fstat_b, table.wcb,
+          krecT0, cr_b)
+
+    def whole(krec, tbl, own):
+        f_acc, t_acc, _ = fused_step_ss(
+            tbl, own, params, cfg.voxel_size, cfg.force_model, krec)
         return krec * 1.000001 + f_acc.sum() * 1e-30
 
-    timed("whole fused_step_ss", whole, krec0)
+    timed("whole fused_step_ss", whole, krec0, table, owners)
 
 
 if __name__ == "__main__":
