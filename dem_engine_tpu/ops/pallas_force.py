@@ -28,8 +28,8 @@ side, and the per-step B-side permutation (measured 72 ms at 3.9M contacts
     statics + 8-row premix traffic).
   * both passes read their own layout's OLD wildcards and write their own
     layout's NEW wildcards. The updates are bitwise-identical functions of
-    identical values (the one-hot matmul at HIGHEST precision is an exact
-    row select), so the two copies never diverge between refreshes.
+    identical values (the one-hot bf16x3 matmul is an exact row select —
+    see _split3), so the two copies never diverge between refreshes.
   * chunks shared between adjacent owner blocks are visited twice with
     complementary one-hot masks; wildcard outputs for a shared chunk are
     read back and merged so each row's final value comes from the block
@@ -50,8 +50,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..defines import F, I, TINY_FLOAT
 
+import os
+
+BF16X3 = os.environ.get("DEM_BF16X3", "1") == "1"
+
 CH = 512   # contact chunk width
-OB = 512   # owners per grid block
+OB = 128   # owners per grid block (swept on hardware: 512 -> 41.5 ms,
+           # 256 -> 18.9, 128 -> 17.7 per pass at 3.93M contacts — the
+           # one-hot matmul cost is linear in OB, boundary revisits grow
+           # only as n_blocks)
 
 _PI_SQ = 9.869604401089358
 _TWO_SQRT_5_6 = 2.0 * (5.0 / 6.0) ** 0.5
@@ -70,63 +77,73 @@ _PI = 3.14159265358979323846
 
 
 # ---------------------------------------------------------------------------
-# row-vector helpers: 3-vectors are tuples of (1, CH) rows so every op is a
-# full-lane VPU op with no sublane relayouts
+# vector-slab helpers: 3-vectors are (3, CH) arrays, scalars (1, CH) rows.
+# Elementwise vec3 ops touch the same vreg count as a single row op (ceil(3/8)
+# sublanes), so packing x/y/z into one op triples the VPU math throughput
+# vs the round-2 row-tuple form (measured 17.5 -> see BENCH_NOTES r3).
+# Cross products use sublane rolls built from concat slices; dot products
+# are sublane-axis reductions.
 # ---------------------------------------------------------------------------
 
 
 def _v3(m, i):
-    return (m[i:i + 1, :], m[i + 1:i + 2, :], m[i + 2:i + 3, :])
+    return m[i:i + 3, :]
 
 
 def _q4(m, i):
-    return (m[i:i + 1, :], m[i + 1:i + 2, :], m[i + 2:i + 3, :],
-            m[i + 3:i + 4, :])
+    """quat as (w row, xyz slab)."""
+    return (m[i:i + 1, :], m[i + 1:i + 4, :])
 
 
 def _add3(a, b):
-    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+    return a + b
 
 
 def _sub3(a, b):
-    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+    return a - b
 
 
 def _neg3(a):
-    return (-a[0], -a[1], -a[2])
+    return -a
 
 
 def _scale3(a, s):
-    return (a[0] * s, a[1] * s, a[2] * s)
+    return a * s          # s is (1, ch): sublane-broadcast multiply
 
 
 def _dot3(a, b):
-    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+    return jnp.sum(a * b, axis=0, keepdims=True)
+
+
+def _rollup(a):
+    """rows (0,1,2) -> (1,2,0)"""
+    return jnp.concatenate([a[1:3], a[0:1]], axis=0)
+
+
+def _rolldn(a):
+    """rows (0,1,2) -> (2,0,1)"""
+    return jnp.concatenate([a[2:3], a[0:2]], axis=0)
 
 
 def _cross3(a, b):
-    return (
-        a[1] * b[2] - a[2] * b[1],
-        a[2] * b[0] - a[0] * b[2],
-        a[0] * b[1] - a[1] * b[0],
-    )
+    return _rollup(a) * _rolldn(b) - _rolldn(a) * _rollup(b)
 
 
 def _where3(c, a, b):
-    if not isinstance(b, tuple):
-        b = (jnp.full_like(a[0], b),) * 3
-    return tuple(jnp.where(c, x, y) for x, y in zip(a, b))
+    if not isinstance(b, jnp.ndarray):
+        b = jnp.zeros_like(a) + b
+    return jnp.where(c, a, b)
 
 
 def _rot(q, v):
-    """quat.rotate on rows: body -> global (15-multiply form)."""
-    qv = (q[1], q[2], q[3])
-    t = _scale3(_cross3(qv, v), 2.0)
-    return _add3(v, _add3(_scale3(t, q[0]), _cross3(qv, t)))
+    """quat.rotate on slabs: body -> global (15-multiply form)."""
+    qw, qv = q
+    t = 2.0 * _cross3(qv, v)
+    return v + qw * t + _cross3(qv, t)
 
 
 def _rot_inv(q, v):
-    return _rot((q[0], -q[1], -q[2], -q[3]), v)
+    return _rot((q[0], -q[1]), v)
 
 
 # ---------------------------------------------------------------------------
@@ -134,8 +151,24 @@ def _rot_inv(q, v):
 # ---------------------------------------------------------------------------
 
 
+_NOMATH = os.environ.get("DEM_FORCE_NOMATH", "0") == "1"
+
+
 def _hertz_rows(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
                 extras=False):
+    if _NOMATH:  # perf floor probe: DMA + matmuls only (tools/sweep_var)
+        rec = jnp.concatenate([s[0:8, :] + Ak[0:8, :] + Bk[0:8, :]], axis=0)
+        wc_new = (w + h) if with_friction else None
+        live = s[0:1, :] >= 0.0
+        if extras:
+            return rec, wc_new, live, jnp.concatenate([Ak, Bk], 0)[:16]
+        return rec, wc_new, live
+    return _hertz_rows_real(s, w, Ak, Bk, h, voxel_size, with_friction,
+                            side_b, extras)
+
+
+def _hertz_rows_real(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
+                     extras=False):
     """s (FSTAT_W, CH) slim statics, w (8, CH) wildcards (or None),
     Ak/Bk (16, CH) kinematics. Returns (rec (8, CH) wrench record of the
     reducing side, wc_new (8, CH) or None, live (1, CH) bool[, ext (16,CH)
@@ -150,10 +183,7 @@ def _hertz_rows(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
     live = s[0:1, :] >= 0.0
 
     # B position relative to owner A CoM (exact voxel-int difference)
-    d = tuple(
-        (bv - av) * voxel_size + (bl - al)
-        for av, al, bv, bl in zip(avox, aloc, bvox, bloc)
-    )
+    d = (bvox - avox) * voxel_size + (bloc - aloc)
     rel_a = _rot(aq, relA)
     pos_b = _add3(d, _rot(bq, relB))
 
@@ -191,12 +221,12 @@ def _hertz_rows(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
     gamma_n = _TWO_SQRT_5_6 * beta * jnp.sqrt(Sn * m_eff)
     f_n = k_n * ovl + gamma_n * proj
     force = _scale3(b2a, f_n)
-    torque_only = (jnp.zeros_like(f_n),) * 3
+    torque_only = jnp.zeros_like(force)
     wc_new = None
 
     if with_friction:
         mu, Crr = s[14:15, :], s[15:16, :]
-        dtan = (w[0:1, :], w[1:2, :], w[2:3, :])
+        dtan = w[0:3, :]
         dtan = _add3(dtan, _scale3(vrel_tan, h))
         disp_proj = _dot3(dtan, b2a)
         dtan = _sub3(dtan, _scale3(b2a, disp_proj))
@@ -248,14 +278,11 @@ def _hertz_rows(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
         force = _add3(force, _where3(mu > 0.0, tf, 0.0))
 
         keep = in_contact
-        zero = jnp.zeros_like(dtime)
+        # slim 4-row wildcard record (delta_tan xyz + delta_time)
         wc_new = jnp.concatenate(
             [
-                jnp.where(keep, dtan[0], 0.0),
-                jnp.where(keep, dtan[1], 0.0),
-                jnp.where(keep, dtan[2], 0.0),
+                jnp.where(keep, dtan, 0.0),
                 jnp.where(keep, dtime, 0.0),
-                zero, zero, zero, zero,
             ],
             axis=0,
         )
@@ -267,19 +294,17 @@ def _hertz_rows(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
     if side_b:
         tq_b = _cross3(lcp_b, _rot_inv(bq, _neg3(f_tot)))
         rec = jnp.concatenate(
-            [-f for f in force] + [jnp.where(live, t, 0.0) for t in tq_b]
-            + [zero, zero], axis=0)
+            [-force, jnp.where(live, tq_b, 0.0), zero, zero], axis=0)
     else:
         tq_a = _cross3(lcp_a, _rot_inv(aq, f_tot))
         rec = jnp.concatenate(
-            list(force) + [jnp.where(live, t, 0.0) for t in tq_a]
-            + [zero, zero], axis=0)
+            [force, jnp.where(live, tq_a, 0.0), zero, zero], axis=0)
     if extras:
         lv = in_contact & live
         ext = jnp.concatenate(
-            list(force)
-            + [jnp.where(lv, t, 0.0) for t in torque_only]
-            + [jnp.where(lv, c, 0.0) for c in cp]
+            [force,
+             jnp.where(lv, torque_only, 0.0),
+             jnp.where(lv, cp, 0.0)]
             + [zero] * 7,
             axis=0,
         )
@@ -314,59 +339,112 @@ def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False):
         cend = cr_ref[2 * i + 1]
         c0 = cstart // ch
         c1 = (cend + ch - 1) // ch
+        nk = c1 - c0
         block_lo = i * ob
         h = hs_ref[0, 0]
 
-        def body(c, acc):
-            off = pl.multiple_of(c * ch, ch)
+        # bf16x3 one-hot matmuls: Mosaic lowers only DEFAULT (bf16) and
+        # HIGHEST (6-pass fp32). DEFAULT destroys the voxel-int rows of
+        # the kinematic records, HIGHEST pays 2x the needed passes. The
+        # telescoping 3-way bf16 split is f32-exact (hi/mid/lo carry
+        # disjoint mantissa ranges and their sum IS the f32), and a
+        # one-hot select of each part stays exact, so 3 DEFAULT passes
+        # reconstruct the f32 select bit-for-bit.
+        def _split3(x):
+            hi = x.astype(jnp.bfloat16)
+            r1 = x - hi.astype(F)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(F)).astype(jnp.bfloat16)
+            return hi, mid, lo
+
+        def _mm3(parts, e, dims):
+            out = None
+            for p in parts:
+                d = jax.lax.dot_general(
+                    p, e, dims, preferred_element_type=jnp.float32)
+                out = d if out is None else out + d
+            return out
+
+        krec_parts = (
+            _split3(krec_ref[...]) if BF16X3 else None
+        )  # loop-invariant (ob, 16) x3 — owner records ride row-major
+        # (the same (N,16) array feeds the i16 row gathers; dim-0
+        # contraction below saves the per-step (N,16)->(16,N) transpose)
+
+        # double-buffered input streams: chunk k lands in slot k%2; the
+        # k+1 DMAs start before the k waits so the HBM streams ride behind
+        # the compute instead of serializing with it
+        def in_cps(k, slot):
+            off = pl.multiple_of((c0 + k) * ch, ch)
             cps = [
                 pltpu.make_async_copy(
-                    fstat_hbm.at[:, pl.ds(off, ch)], fstat_s, sems.at[0]),
+                    fstat_hbm.at[:, pl.ds(off, ch)], fstat_s.at[slot],
+                    sems.at[slot, 0]),
                 pltpu.make_async_copy(
-                    ot_hbm.at[:, pl.ds(off, ch)], ot_s, sems.at[2]),
+                    ot_hbm.at[:, pl.ds(off, ch)], ot_s.at[slot],
+                    sems.at[slot, 1]),
             ]
             if with_friction:
                 cps.append(pltpu.make_async_copy(
-                    wc_hbm.at[:, pl.ds(off, ch)], wc_s, sems.at[3]))
-            for cp in cps:
+                    wc_hbm.at[:, pl.ds(off, ch)], wc_s.at[slot],
+                    sems.at[slot, 2]))
+            return cps
+
+        @pl.when(nk > 0)
+        def _():
+            for cp in in_cps(0, 0):
                 cp.start()
+
+        def body(k, acc):
+            c = c0 + k
+            slot = k % 2
+            off = pl.multiple_of(c * ch, ch)
+
+            @pl.when(k + 1 < nk)
+            def _():
+                for cp in in_cps(k + 1, 1 - slot):
+                    cp.start()
 
             # shared-boundary merge: the first chunk of this block may also
             # be the last chunk of the previous block, which already wrote
             # it (with garbage for OUR rows — its one-hot kinematics window
-            # does not cover them). Read its output back and keep its
-            # values for the rows it owns.
-            merge = (c == c0) & (cstart % ch != 0)
+            # does not cover them; the previous grid step's epilogue waited
+            # the write). Read its output back and keep its values for the
+            # rows it owns.
+            merge = (k == 0) & (cstart % ch != 0)
 
             if with_friction:
                 @pl.when(merge)
                 def _():
                     rb = pltpu.make_async_copy(
                         wcout_hbm.at[:, pl.ds(off, ch)], wcrb_s,
-                        sems.at[5])
+                        sems.at[0, 5])
                     rb.start()
                     rb.wait()
 
-            for cp in cps:
+            for cp in in_cps(k, slot):
                 cp.wait()
 
-            s = fstat_s[...]
+            s = fstat_s[slot]
             own = s[0:1, :].astype(jnp.int32)
             rel = own - block_lo
             inblk = (s[0:1, :] >= 0.0) & (rel >= 0) & (rel < ob)
             E = ((jax.lax.broadcasted_iota(jnp.int32, (ob, ch), 0) == rel)
-                 & inblk).astype(F)                       # (ob, ch)
-            # HIGHEST: default MXU precision rounds inputs to bf16,
-            # which destroys the voxel-int rows of the kinematic records
-            kin = jax.lax.dot_general(
-                krec_ref[...], E, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                             # (16, ch)
-            Ak, Bk = (ot_s[...], kin) if side_b else (kin, ot_s[...])
+                 & inblk).astype(jnp.bfloat16 if BF16X3 else F)
+            if BF16X3:
+                kin = _mm3(krec_parts, E,
+                           (((0,), (0,)), ((), ())))      # (16, ch)
+            else:
+                kin = jax.lax.dot_general(
+                    krec_ref[...], E, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            ot = ot_s[slot]
+            Ak, Bk = (ot, kin) if side_b else (kin, ot)
 
             out = _hertz_rows(
-                s, wc_s[...] if with_friction else None,
+                s, wc_s[slot] if with_friction else None,
                 Ak, Bk, h, voxel_size, with_friction, side_b,
                 extras=extras,
             )
@@ -375,35 +453,61 @@ def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False):
             # reduce through the same one-hot (select first: NaNs from
             # out-of-block rows must not ride a 0-weight product)
             rec = jnp.where(inblk, rec, 0.0)
-            acc = acc + jax.lax.dot_general(
-                rec, E, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                             # (8, ob)
+            if BF16X3:
+                acc = acc + _mm3(_split3(rec), E,
+                                 (((1,), (1,)), ((), ())))  # (8, ob)
+            else:
+                acc = acc + jax.lax.dot_general(
+                    rec, E, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
             # per-row outputs; rows before cstart keep the previous
             # block's values (they are his), rows after cend get fixed by
-            # the next block's merge
-            wr = []
+            # the next block's merge. Writes are double-buffered too:
+            # before reusing a slot, wait its k-2 write out.
             if with_friction:
-                slot = off + jax.lax.broadcasted_iota(jnp.int32, (1, ch), 1)
-                mine = slot >= cstart
-                wcob_s[...] = jnp.where(mine, wc_new, wcrb_s[...])
-                wr.append(pltpu.make_async_copy(
-                    wcob_s, wcout_hbm.at[:, pl.ds(off, ch)], sems.at[7]))
+                rowid = off + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, ch), 1)
+                mine = rowid >= cstart
+
+                @pl.when(k >= 2)
+                def _():
+                    _wc_write(k - 2).wait()
+
+                wcob_s[slot] = jnp.where(mine, wc_new, wcrb_s[...])
+                _wc_write(k).start()
             if extras:
                 ext_s[...] = jnp.where(inblk, out[3], 0.0)
-                wr.append(pltpu.make_async_copy(
-                    ext_s, ext_hbm.at[:, pl.ds(off, ch)], sems.at[6]))
-            for cp in wr:
-                cp.start()
-            for cp in wr:
-                cp.wait()
+                wcp = pltpu.make_async_copy(
+                    ext_s, ext_hbm.at[:, pl.ds(off, ch)], sems.at[0, 4])
+                wcp.start()
+                wcp.wait()
             return acc
 
+        def _wc_write(k):
+            off = pl.multiple_of((c0 + k) * ch, ch)
+            slot = k % 2
+            return pltpu.make_async_copy(
+                wcob_s.at[slot], wcout_hbm.at[:, pl.ds(off, ch)],
+                sems.at[slot, 3])
+
         acc_ref[...] = jax.lax.fori_loop(
-            c0, c1, body, jnp.zeros((8, ob), F)
+            0, nk, body, jnp.zeros((8, ob), F)
         )
+
+        # epilogue: the last one or two wildcard writes are still in
+        # flight; the next grid step's merge readback (and the caller)
+        # must see them landed
+        if with_friction:
+            @pl.when(nk >= 2)
+            def _():
+                _wc_write(nk - 2).wait()
+
+            @pl.when(nk >= 1)
+            def _():
+                _wc_write(nk - 1).wait()
 
     return kernel
 
@@ -415,14 +519,15 @@ def fused_hertz_pass(fstat, wcT, krecT, otT, cr, n_blocks, h,
     layouts are field-major:
 
       fstat (FSTAT_W, capp) slim statics of this layout,
-      wcT (8, capp) this layout's wildcards or None,
-      krecT (16, n_blocks*ob) owner kinematic records (one-hot side),
+      wcT (4, capp) this layout's wildcards or None,
+      krecT (n_blocks*ob, 16) owner kinematic records (one-hot side;
+          row-major — shared layout with the i16 row gathers),
       otT (16, capp) other-side kinematics (pre-gathered),
       cr (2*n_blocks,) i32 per-block [cstart, cend) contact ranges,
       h: f32[] traced step size.
 
     Returns (accT (8, n_blocks*ob) reduced owner wrenches of this side,
-             wc_outT (8, capp) or None[, extT (16, capp) per-contact
+             wc_outT (4, capp) or None[, extT (16, capp) per-contact
              force/torque_only/cpoint rows when extras]).
     """
     ch = ch or CH
@@ -432,7 +537,7 @@ def fused_hertz_pass(fstat, wcT, krecT, otT, cr, n_blocks, h,
     hs = jnp.reshape(h.astype(F), (1, 1))
 
     in_specs = [
-        pl.BlockSpec((16, ob), lambda i, b: (0, i),
+        pl.BlockSpec((ob, 16), lambda i, b: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
@@ -451,21 +556,22 @@ def fused_hertz_pass(fstat, wcT, krecT, otT, cr, n_blocks, h,
     out_shape = [jax.ShapeDtypeStruct((8, n_blocks * ob), F)]
     if with_friction:
         out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-        out_shape.append(jax.ShapeDtypeStruct((8, capp), F))
+        out_shape.append(jax.ShapeDtypeStruct((4, capp), F))
     if extras:
         out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         out_shape.append(jax.ShapeDtypeStruct((16, capp), F))
 
-    scratch = [pltpu.VMEM((fstat.shape[0], ch), jnp.float32)]
+    # leading dim 2 = double-buffer slots (chunk k in slot k%2)
+    scratch = [pltpu.VMEM((2, fstat.shape[0], ch), jnp.float32)]
     if with_friction:
-        scratch.append(pltpu.VMEM((8, ch), jnp.float32))   # wildcards in
-    scratch.append(pltpu.VMEM((16, ch), jnp.float32))      # other-side kin
+        scratch.append(pltpu.VMEM((2, 4, ch), jnp.float32))   # wildcards in
+    scratch.append(pltpu.VMEM((2, 16, ch), jnp.float32))      # other-side kin
     if with_friction:
-        scratch.append(pltpu.VMEM((8, ch), jnp.float32))   # wc out buffer
-        scratch.append(pltpu.VMEM((8, ch), jnp.float32))   # wc readback
+        scratch.append(pltpu.VMEM((2, 4, ch), jnp.float32))   # wc out
+        scratch.append(pltpu.VMEM((4, ch), jnp.float32))      # wc readback
     if extras:
-        scratch.append(pltpu.VMEM((16, ch), jnp.float32))  # extras buffer
-    scratch.append(pltpu.SemaphoreType.DMA((8,)))
+        scratch.append(pltpu.VMEM((16, ch), jnp.float32))     # extras buffer
+    scratch.append(pltpu.SemaphoreType.DMA((2, 6)))
 
     out = pl.pallas_call(
         _make_kernel(ch, ob, float(voxel_size), with_friction, side_b,
@@ -530,7 +636,7 @@ def fused_step_ss(table, owners, params, voxel_size, model, krec,
     wcT = None
     if with_friction:
         wrows = [table.wildcards[n] for n in wc_names]
-        wrows += [jnp.zeros((cap,), F)] * (8 - len(wrows))
+        wrows += [jnp.zeros((cap,), F)] * (4 - len(wrows))
         wcT = _pad_cols(jnp.stack(wrows, axis=0), pad)
 
     ids_a = jnp.where(table.own_a >= 0, table.own_a, n_owners)
@@ -542,10 +648,15 @@ def fused_step_ss(table, owners, params, voxel_size, model, krec,
     npad = n_blocks * OB
     krecT = jnp.concatenate(
         [krec, jnp.zeros((npad - n_owners, krec.shape[1]), F)], axis=0
-    ).T
+    )
 
+    # ONE merged row-gather for both passes' other-side kinematics (two
+    # 3.93M-row gathers cost 40 ms, the merged one 36 — tools/profile_*)
     own_b = jnp.where(live, table.own_b, 0)
-    btT = _pad_cols(forces.gather_rows(krec, own_b).T, pad)
+    both = forces.gather_rows(
+        krec, jnp.concatenate([own_b, table.own_a_b])).T
+    btT = _pad_cols(both[:, :cap], pad)
+    atT = _pad_cols(both[:, cap:], pad)
 
     outA = fused_hertz_pass(
         fstatA, wcT, krecT, btT, cr_a, n_blocks, params.h,
@@ -556,13 +667,12 @@ def fused_step_ss(table, owners, params, voxel_size, model, krec,
 
     # ---- pass B: own_b-sorted layout --------------------------------------
     fstatB = _pad_cols(table.fstat_b, pad, dead_row0=True)
-    wcbT = _pad_cols(table.wcb, pad) if with_friction else None
+    wcbT = _pad_cols(table.wcb[:4], pad) if with_friction else None
     ids_b = jnp.minimum(table.own_b_sorted, n_owners)
     if pad:
         ids_b = jnp.concatenate(
             [ids_b, jnp.full((pad,), n_owners, I)], axis=0)
     cr_b, _ = owner_block_ranges(ids_b, n_owners, OB)
-    atT = _pad_cols(forces.gather_rows(krec, table.own_a_b).T, pad)
 
     accB, wcB_out = fused_hertz_pass(
         fstatB, wcbT, krecT, atT, cr_b, n_blocks, params.h,
@@ -579,7 +689,9 @@ def fused_step_ss(table, owners, params, voxel_size, model, krec,
         for k, name in enumerate(wc_names):
             new_wc[name] = jnp.where(live, wcA_out[k, :cap], 0.0)
         live_b = table.own_b_sorted < n_owners
-        wcb = jnp.where(live_b[None, :], wcB_out[:, :cap], 0.0)
+        wcb4 = jnp.where(live_b[None, :], wcB_out[:, :cap], 0.0)
+        wcb = jnp.concatenate(
+            [wcb4, jnp.zeros((table.wcb.shape[0] - 4, cap), F)], axis=0)
     new_table = table.replace(wildcards=new_wc, wcb=wcb)
     if extras:
         ext = outA[2]

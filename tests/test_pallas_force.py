@@ -139,3 +139,31 @@ def test_fused_across_refresh_and_unaligned_cap():
     _close(s_x.owners.vel, s_f.owners.vel, tol=1e-3)
     for k in s_x.ss.wildcards:
         _close(s_x.ss.wildcards[k], s_f.ss.wildcards[k], tol=1e-3)
+
+
+def test_fused_matches_xla_ratio3_radii():
+    """Parity at strongly polydisperse radii (the GRC ratio-3 shape):
+    20% of spheres 3x larger, deep initial overlaps included."""
+    from dem_engine_tpu.defines import F
+
+    model = HertzianForceModel()
+    state, params, cfg = _build(60, model, seed=9, cap_ss=8192)
+    rng = np.random.default_rng(9)
+    scale = np.where(rng.uniform(size=int(state.spheres.n)) < 0.8, 1.0, 3.0)
+    state = state.replace(
+        spheres=state.spheres.replace(
+            radius=state.spheres.radius * jnp.asarray(scale, F)
+        )
+    )
+    state = refresh_contacts(state, params, cfg)
+    assert int(state.ss.count) > 30
+
+    cfg_fused = dataclasses.replace(cfg, use_fused_force=True)
+    s_x = s_f = state
+    for _ in range(2):
+        s_x = dynamics_step(s_x, params, cfg)
+        s_f = dynamics_step(s_f, params, cfg_fused)
+    _close(s_x.owners.vel, s_f.owners.vel, tol=1e-3)
+    _close(s_x.owners.omg, s_f.owners.omg, tol=1e-3)
+    for k in s_x.ss.wildcards:
+        _close(s_x.ss.wildcards[k], s_f.ss.wildcards[k], tol=1e-3)

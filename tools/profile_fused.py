@@ -75,13 +75,13 @@ def main():
     # pass A alone (fixed inputs except chained btT)
     wc_names = sorted(table.wildcards)
     wrows = [table.wildcards[n] for n in wc_names]
-    wrows += [jnp.zeros((cap,), F)] * (8 - len(wrows))
+    wrows += [jnp.zeros((cap,), F)] * (4 - len(wrows))
     wcT = jnp.stack(wrows, axis=0)
     ids_a = jnp.where(table.own_a >= 0, table.own_a, N)
     cr_a, n_blocks = owner_block_ranges(ids_a, N, OB)
     npad = n_blocks * OB
     krecT0 = jnp.concatenate(
-        [krec0, jnp.zeros((npad - N, 16), F)], axis=0).T
+        [krec0, jnp.zeros((npad - N, 16), F)], axis=0)
     btT0 = forces.gather_rows(krec0, own_b0).T
 
     def pass_a(btT, fstat, wct, krecT, cr):
@@ -102,7 +102,7 @@ def main():
             h, cfg.voxel_size, True, side_b=True)
         return atT * 1.000001 + accT.sum() * 1e-30 + wc_outT.sum() * 1e-30
 
-    timed("kernel pass B", pass_b, atT0, table.fstat_b, table.wcb,
+    timed("kernel pass B", pass_b, atT0, table.fstat_b, table.wcb[:4],
           krecT0, cr_b)
 
     def whole(krec, tbl, own):
@@ -111,6 +111,13 @@ def main():
         return krec * 1.000001 + f_acc.sum() * 1e-30
 
     timed("whole fused_step_ss", whole, krec0, table, owners)
+
+    from dem_engine_tpu.solver import dynamics_step
+
+    def step(st, pp):
+        return dynamics_step(st, pp, cfg)
+
+    timed("whole dynamics_step", step, state, params)
 
 
 if __name__ == "__main__":
