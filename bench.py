@@ -22,9 +22,22 @@ def main():
     ap.add_argument("--steps", type=int, default=0)
     ap.add_argument("--warmup", type=int, default=0)
     ap.add_argument("--update-freq", type=int, default=25)
+    ap.add_argument("--auto", action="store_true",
+                    help="adaptive CD cadence (wall-time K ladder)")
+    ap.add_argument("--poly", action="store_true",
+                    help="bench the ratio-3 polydisperse GRC-style bed "
+                         "(two-class CD) instead of the mono shape")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (this machine's "
+                         "sitecustomize overrides JAX_PLATFORMS)")
+    ap.add_argument("--timers", action="store_true",
+                    help="print the engine timer breakdown to stderr")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from dem_engine_tpu.utils import compile_cache
 
@@ -44,9 +57,11 @@ def main():
     from dem_engine_tpu.solver import Engine
 
     cfg, state, params = _build_case(
-        n_clumps=n, update_freq=args.update_freq
+        n_clumps=n, update_freq=args.update_freq,
+        poly_frac=0.2 if args.poly else 0.0,
     )
     eng = Engine(cfg)
+    eng.auto_freq = args.auto
 
     # warmup: compiles + settles capacities + establishes contacts
     state = eng.advance(state, params, args.warmup, args.update_freq)
@@ -58,11 +73,28 @@ def main():
     dt = time.perf_counter() - t0
 
     rate = n * args.steps / dt  # clump-steps/s on this one chip
+    if args.timers:
+        import sys
+
+        t = dict(eng.timers)
+        t["timed_steps"] = args.steps
+        t["timed_s"] = dt
+        t["ms_per_step"] = dt / args.steps * 1e3
+        t["cap_ss"] = eng.cfg.cap_ss
+        t["contacts"] = int(state.ss.count)
+        t["active_freq"] = eng.active_freq
+        t["k_perf_ms"] = {k: round(v * 1e3, 2)
+                          for k, v in eng._k_perf.items()}
+        print("TIMERS", t, file=sys.stderr, flush=True)
+    shape = ("ratio-3 polydisperse (80/20) 3-sphere clumps"
+             if args.poly else "3-sphere clumps")
+    cd = ("adaptive CD" if args.auto
+          else f"CD every {args.update_freq}")
     print(
         json.dumps(
             {
-                "metric": f"clump-steps/s/chip ({n} 3-sphere clumps, "
-                f"Hertz-Mindlin+friction, CD every {args.update_freq})",
+                "metric": f"clump-steps/s/chip ({n} {shape}, "
+                f"Hertz-Mindlin+friction, {cd})",
                 "value": rate,
                 "unit": "clump-steps/s",
                 "vs_baseline": rate / BASELINE_PER_CHIP,

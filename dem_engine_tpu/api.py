@@ -505,6 +505,13 @@ class DEMSolver:
         """Source-compat no-op: drift is deterministic here (fused
         refresh+step program), so there is no async drift to bound."""
 
+    def SetCDTwoClassGrids(self, flag: bool = True):
+        """Force the two-grid polydisperse CD on (True) or off (False).
+        Default (never called) = auto: enabled at Initialize when the
+        sphere radius ratio exceeds ~2.2. Plays the role of the
+        reference's occupancy-aware bin-size tuning (kT.cpp:43-98)."""
+        self._cd_two_class = bool(flag)
+
     def SetExpandSafetyMultiplier(self, m: float):
         self._expand_multi = float(m)
         if self._initialized:
@@ -1497,6 +1504,22 @@ class DEMSolver:
         # is ~10x a gather there); scatter wins on CPU where the tests run
         platform = jax.devices()[0].platform
         on_tpu = platform != "cpu"
+        # polydisperse beds (radius ratio > ~2.2 with real mass in both
+        # classes) get the two-grid CD: single-grid occupancy grows as the
+        # cube of the size ratio and knocks the CD onto slow paths
+        # (reference instead re-tunes one grid, kT.cpp:43-98)
+        radii = np.asarray(spheres.radius)
+        self._cls_thr = 0.0
+        two_class = False
+        tc_user = getattr(self, "_cd_two_class", None)
+        if radii.size and tc_user is not False:
+            rmin, rmax = float(radii.min()), float(radii.max())
+            if rmin > 0 and rmax / rmin > 2.2:
+                thr = float(np.sqrt(rmin * rmax))
+                frac = float(np.mean(radii <= thr))
+                if (0.05 < frac < 0.999) or tc_user:
+                    self._cls_thr = thr
+                    two_class = True
         cfg = SolverConfig(
             voxel_size=self._voxel_size,
             integrator=self._integrator,
@@ -1513,6 +1536,7 @@ class DEMSolver:
             use_pallas_reduce=on_tpu,
             use_fused_force=on_tpu and model.fused_variant is not None,
             ss_family_filter=not bool(np.all(self._family_mask)),
+            cd_two_class=two_class,
         )
         self.state = make_state(owners, spheres, cfg, tris=tris, anals=anals)
         self._seed_existing_contacts(cfg)
@@ -1611,6 +1635,7 @@ class DEMSolver:
             family_mask=self._family_mask,
             family_persist=self._family_persist,
             family_extra_margin=self._family_extra_margin,
+            cls_thr=getattr(self, "_cls_thr", 0.0),
         )
 
     def _mat_tables(self):

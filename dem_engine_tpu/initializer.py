@@ -170,6 +170,7 @@ def make_params(
     family_mask: Optional[np.ndarray] = None,
     family_persist: Optional[np.ndarray] = None,
     family_extra_margin: Optional[np.ndarray] = None,
+    cls_thr: float = 0.0,
 ) -> RuntimeParams:
     if family_mask is None:
         family_mask = np.ones((256, 256), bool)
@@ -192,4 +193,5 @@ def make_params(
         family_extra_margin=_f(family_extra_margin, (256,)),
         mat_props={k: _f(v) for k, v in materials.items()},
         pair_props={k: _f(v) for k, v in pair_materials.items()},
+        cls_thr=_f(cls_thr),
     )

@@ -94,11 +94,20 @@ jax.tree_util.register_dataclass(
 )
 
 
-def build_sphere_table(pos, reach, owner, family, bin_size, nb, pad_to):
-    """Sort spheres by bin id; pad to a static size with sentinel bins."""
+def build_sphere_table(pos, reach, owner, family, bin_size, nb, pad_to,
+                       member=None):
+    """Sort spheres by bin id; pad to a static size with sentinel bins.
+
+    `member` (bool[S], traced) restricts the table to a subset: excluded
+    spheres sort to the sentinel tail with reach -1e30, so sweeps treat
+    them exactly like padding (the two-class polydisperse path classes
+    spheres by radius with a traced threshold — no static split, no
+    recompiles when the threshold moves)."""
     S = pos.shape[0]
     idx3 = bin_index_3d(pos, bin_size, nb)
     binid = flat_bin(idx3, nb)
+    if member is not None:
+        binid = jnp.where(member, binid, _SENTINEL_BIN)
     sorted_bin, order = jax.lax.sort(
         (binid, jnp.arange(S, dtype=I)), num_keys=1
     )
@@ -109,21 +118,28 @@ def build_sphere_table(pos, reach, owner, family, bin_size, nb, pad_to):
         )
         order = jnp.concatenate([order, jnp.full((pad,), S, I)])
     take = partial(jnp.take, indices=jnp.minimum(order, S - 1), axis=0)
-    live = (order < S).astype(F)
+    ok = order < S
+    if member is not None:
+        # excluded spheres are full padding: id -> S so they never act as
+        # sweep rows, sentinel bin so they are never candidates
+        ok = ok & jnp.take(
+            jnp.concatenate([member, jnp.zeros((1,), bool)]),
+            jnp.minimum(order, S), axis=0,
+        )
     rec = jnp.concatenate(
         [
             take(pos),
-            jnp.where(order < S, take(reach), -1e30)[:, None],
-            jnp.where(order < S, take(owner), -1).astype(F)[:, None],
-            jnp.where(order < S, take(family), 0).astype(F)[:, None],
-            order.astype(F)[:, None],
+            jnp.where(ok, take(reach), -1e30)[:, None],
+            jnp.where(ok, take(owner), -1).astype(F)[:, None],
+            jnp.where(ok, take(family), 0).astype(F)[:, None],
+            jnp.where(ok, order, S).astype(F)[:, None],
         ],
         axis=1,
     )
     # padding rows get the top-corner bin: their sorted position (after the
     # sentinel sort key) then stays consistent with a maximal bin index, so
     # per-tile coarse window ends in the Pallas sweep bound real rows
-    sidx3 = jnp.where((order < S)[:, None], take(idx3), nb[None, :] - 1)
+    sidx3 = jnp.where(ok[:, None], take(idx3), nb[None, :] - 1)
 
     # max bin occupancy via run-length over the sorted bins
     k = jnp.arange(pad_to, dtype=I)
@@ -134,6 +150,10 @@ def build_sphere_table(pos, reach, owner, family, bin_size, nb, pad_to):
     occ = jnp.where(sorted_bin != _SENTINEL_BIN, k - run_start + 1, 0)
     max_occ = occ.max() if pad_to > 0 else jnp.zeros((), I)
 
+    if member is not None:
+        # excluded rows read as padding everywhere (Pallas sweep decode
+        # keys its neutralization on order == S)
+        order = jnp.where(ok, order, S)
     return SphereBinTable(sorted_bin, rec, order, sidx3, max_occ)
 
 
@@ -154,11 +174,14 @@ def _compact(hit_flat, payloads, cap, base_total, outs):
 
 
 def find_pairs_ss(pos, reach, owner, family, family_mask, bin_size, nb,
-                  cap, max_per_bin, chunk=0):
+                  cap, max_per_bin, chunk=0, member=None, base=None,
+                  outs=None):
     """Sphere–sphere candidate pairs within summed reach.
 
     Returns (idA, idB, count, max_occ) with idA < idB canonical ordering
     (stable roles across refreshes so contact history maps cleanly).
+    `member` restricts both rows and candidates to a class subset;
+    (`outs`, `base`) append into a prior sweep's compacted output.
     """
     S = pos.shape[0]
     if chunk <= 0:
@@ -166,13 +189,14 @@ def find_pairs_ss(pos, reach, owner, family, family_mask, bin_size, nb,
     n_chunks = -(-S // chunk)
     spad = n_chunks * chunk
 
-    tab = build_sphere_table(pos, reach, owner, family, bin_size, nb, spad)
+    tab = build_sphere_table(pos, reach, owner, family, bin_size, nb, spad,
+                             member=member)
     fam_mask_flat = family_mask.reshape(-1)
     offs = jnp.asarray(_HALF_SHELL)  # (14,3)
     mpb = max_per_bin
 
-    outA0 = jnp.full((cap,), -1, I)
-    outB0 = jnp.full((cap,), -1, I)
+    outA0, outB0 = outs if outs is not None else (
+        jnp.full((cap,), -1, I), jnp.full((cap,), -1, I))
 
     def body(carry, ci):
         outA, outB, total = carry
@@ -223,10 +247,109 @@ def find_pairs_ss(pos, reach, owner, family, family_mask, bin_size, nb,
         return (outA, outB, total), None
 
     (outA, outB, total), _ = jax.lax.scan(
-        body, (outA0, outB0, jnp.zeros((), I)),
+        body, (outA0, outB0,
+               base if base is not None else jnp.zeros((), I)),
         jnp.arange(n_chunks, dtype=I),
     )
     return outA, outB, total, tab.max_occ, tab
+
+
+_FULL_SHELL = np.stack(
+    np.meshgrid(*[np.arange(-1, 2)] * 3, indexing="ij"), axis=-1
+).reshape(-1, 3).astype(np.int32)  # 27 neighbor offsets
+
+
+def find_pairs_cross(pos, reach, owner, family, row_member,
+                     tab: SphereBinTable, family_mask, bin_size, nb,
+                     cap, max_per_bin, base=None, outs=None, chunk=0):
+    """Cross-class sphere–sphere candidates: rows are `row_member` spheres,
+    candidates come from `tab` (a table of the OTHER class, binned on a
+    grid of cell `bin_size` >= max_reach_row + max_reach_cand so touching
+    pairs are within one cell). Classes are disjoint, so each unordered
+    pair is visited exactly once and the full 27-bin shell is scanned
+    (no half-shell dedup). Appends into (outs, base) from a prior sweep.
+
+    The reference instead re-sizes ONE grid to the largest sphere
+    (decideBinSize, APIPrivate.cpp:489-566) and eats the occupancy; the
+    two-grid split keeps per-bin occupancy near the monodisperse case for
+    ratio-3 GRC beds (VERDICT r2 #4)."""
+    S = pos.shape[0]
+    if chunk <= 0:
+        chunk = min(max(S, 1), 65536)
+    n_chunks = -(-S // chunk)
+    spad_rows = n_chunks * chunk
+    spad = tab.sorted_bin.shape[0]
+    fam_mask_flat = family_mask.reshape(-1)
+    offs = jnp.asarray(_FULL_SHELL)  # (27,3)
+    mpb = max_per_bin
+
+    if outs is None:
+        outs = (jnp.full((cap,), -1, I), jnp.full((cap,), -1, I))
+    if base is None:
+        base = jnp.zeros((), I)
+
+    pad = spad_rows - S
+    rid = jnp.arange(spad_rows, dtype=I)
+    live_row = (rid < S) & jnp.concatenate(
+        [row_member, jnp.zeros((pad,), bool)]
+    ) if pad else ((rid < S) & row_member)
+    posp = jnp.concatenate([pos, jnp.zeros((pad, 3), F)]) if pad else pos
+    reachp = jnp.concatenate([reach, jnp.full((pad,), -1e30, F)]
+                             ) if pad else reach
+    ownp = jnp.concatenate([owner, jnp.full((pad,), -1, I)]
+                           ) if pad else owner
+    famp = jnp.concatenate([family, jnp.zeros((pad,), I)]) if pad else family
+
+    idx3_all = bin_index_3d(posp, bin_size, nb)
+
+    def body(carry, ci):
+        outA, outB, total = carry
+        k0 = ci * chunk
+        my_idx3 = jax.lax.dynamic_slice_in_dim(idx3_all, k0, chunk)
+        my_pos = jax.lax.dynamic_slice_in_dim(posp, k0, chunk)
+        my_reach = jax.lax.dynamic_slice_in_dim(reachp, k0, chunk)
+        my_own = jax.lax.dynamic_slice_in_dim(ownp, k0, chunk)
+        my_fam = jax.lax.dynamic_slice_in_dim(famp, k0, chunk)
+        my_live = jax.lax.dynamic_slice_in_dim(live_row, k0, chunk)
+        my_id = k0 + jnp.arange(chunk, dtype=I)
+
+        tgt3 = my_idx3[:, None, :] + offs[None, :, :]          # (ch,27,3)
+        ok3 = jnp.all((tgt3 >= 0) & (tgt3 < nb[None, None, :]), axis=-1)
+        tgt = jnp.where(ok3, flat_bin(tgt3, nb), -2)           # (ch,27)
+
+        starts = jnp.searchsorted(tab.sorted_bin, tgt)
+        ends = jnp.searchsorted(tab.sorted_bin, tgt, side="right")
+        slots = starts[..., None] + jnp.arange(mpb, dtype=I)   # (ch,27,mpb)
+        slots_c = jnp.minimum(slots, spad - 1)
+        valid = (slots < ends[..., None]) & (slots < spad)
+        valid &= my_live[:, None, None]
+
+        crec = tab.rec[slots_c]
+        cpos = crec[..., 0:3]
+        cre = crec[..., 3]
+        cown = crec[..., 4]
+        cfam = crec[..., 5].astype(I)
+        cid = crec[..., 6].astype(I)
+
+        d = my_pos[:, None, None, :] - cpos
+        d2 = jnp.sum(d * d, axis=-1)
+        rr = my_reach[:, None, None] + cre
+        hit = valid & (d2 < rr * rr) & (rr > 0.0)
+        hit &= cown.astype(I) != my_own[:, None, None]
+        hit &= fam_mask_flat[my_fam[:, None, None] * 256 + cfam]
+
+        a = jnp.broadcast_to(my_id[:, None, None], hit.shape)
+        lo = jnp.minimum(a, cid).reshape(-1)
+        hi = jnp.maximum(a, cid).reshape(-1)
+        (outA, outB), total = _compact(
+            hit.reshape(-1), (lo, hi), cap, total, (outA, outB)
+        )
+        return (outA, outB, total), None
+
+    (outA, outB, total), _ = jax.lax.scan(
+        body, (*outs, base), jnp.arange(n_chunks, dtype=I)
+    )
+    return outA, outB, total
 
 
 def find_pairs_st(aabb_min, aabb_max, tri_owner, tri_family, tab: SphereBinTable,

