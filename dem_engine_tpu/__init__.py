@@ -5,7 +5,7 @@ JAX/XLA/Pallas on TPU. See SURVEY.md for the structural analysis of the
 reference and the design translation table (§7).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from .defines import (  # noqa: F401
     ContactOutputContent,

@@ -288,17 +288,38 @@ class DEMInspector:
             val += float(s._lbf[_AXIS_IDX[q[-1]]])  # back to user frame
         return val
 
+    # chunk device->host readbacks: large (>MB) single transfers can hang
+    # this backend (see CLAUDE.md); 64k rows x 3 f32 = 768 KB per fetch
+    _READBACK_CHUNK = 65536
+
     def _host_value(self) -> float:
-        """Host fallback for user-supplied region callables."""
+        """Host fallback for user-supplied region callables.
+
+        Unlike the box/sphere fast path this reads back all sphere
+        positions (O(N) transfer); it warns once at large N and fetches
+        in sub-MB chunks so the transfer cannot wedge the device relay.
+        """
         s = self._s
         st = s.state
         q = self.quantity
-        sph_pos = np.asarray(
-            jax.device_get(
-                _sphere_world(st.owners, st.spheres, s._voxel_size)
-            ),
-            np.float64,
-        ) + s._lbf
+        n_sph = int(st.spheres.n)
+        if n_sph > 4 * self._READBACK_CHUNK and not getattr(
+                self, "_warned_big_readback", False):
+            import warnings
+
+            warnings.warn(
+                f"Inspector region is a host callable: reading back all "
+                f"{n_sph} sphere positions. Use a BoxRegion/SphereRegion "
+                f"for a device-side reduction (one scalar to host).",
+                stacklevel=3,
+            )
+            self._warned_big_readback = True
+        pos_dev = _sphere_world(st.owners, st.spheres, s._voxel_size)
+        sph_pos = np.concatenate(
+            [np.asarray(jax.device_get(
+                pos_dev[i:i + self._READBACK_CHUNK]), np.float64)
+             for i in range(0, n_sph, self._READBACK_CHUNK)]
+        ) + s._lbf if n_sph else np.zeros((0, 3))
         own = np.asarray(st.spheres.owner)
         mask = np.asarray(self.region(sph_pos))
         if q.startswith("clump_max_") and q[-1] in self._AXIS:
@@ -414,6 +435,7 @@ class DEMSolver:
         self._extern_objs: List[DEMExternObj] = []
         self._meshes: List[DEMMeshConnected] = []
         self._prescriptions: Dict[int, FamilyPrescription] = {}
+        self._axis_presc: Dict[tuple, list] = {}
         self._family_changes: List[FamilyChange] = []
         self._family_mask = np.ones((NUM_FAMILIES, NUM_FAMILIES), bool)
         self._family_persist = np.zeros((NUM_FAMILIES, NUM_FAMILIES), bool)
@@ -672,6 +694,24 @@ class DEMSolver:
     def SetForceCalcThreadsPerBlock(self, n):
         pass  # no CUDA blocks; kept for source compatibility
 
+    def SetCollectAccRightAfterForceCalc(self, flag: bool = True):
+        """Source compat (reference API.h:1061): the fused Pallas force
+        pass ALWAYS reduces wrenches in-kernel, which is exactly what
+        this flag requests — nothing to toggle."""
+
+    def SetExpandFactor(self, beta: float, fix: bool = True):
+        """Fixed CD margin (reference API.h:199): with `fix`, margins
+        stop tracking velocity and use the constant `beta` length."""
+        self._expand_adder = float(beta)
+        if fix:
+            self._expand_multi = 0.0
+        if self._initialized:
+            self._rebuild_params()
+
+    def SetAdaptiveTimeStepType(self, type: str = "none"):
+        """Source compat: not implemented in the reference either
+        (APIPublic.cpp:803-805 warns and keeps the fixed step)."""
+
     # ------------------------------------------------------------------
     # materials (reference API.h:390-422)
     # ------------------------------------------------------------------
@@ -835,6 +875,47 @@ class DEMSolver:
     def SetFamilyPrescribedQuaternion(self, family: int, q_fn):
         q = q_fn if callable(q_fn) else (lambda t: jnp.asarray(q_fn, F))
         self._merge_presc(FamilyPrescription(family=family, quat=q))
+
+    # per-component prescription setters (reference API.h:712-779 — each
+    # axis is an independent jitified string expression there; here each
+    # axis call accumulates into one 3-component traced prescription)
+    def _axis_prescribe(self, family, channel, axis, expr, dictate=True):
+        key = (int(family), channel, bool(dictate))
+        comps = self._axis_presc.setdefault(key, [None, None, None])
+        comps[axis] = expr
+        if channel == "lin_vel":
+            self.SetFamilyPrescribedLinVel(family, *comps, dictate=dictate)
+        elif channel == "rot_vel":
+            self.SetFamilyPrescribedAngVel(family, *comps, dictate=dictate)
+        else:
+            self.SetFamilyPrescribedPosition(family, *comps)
+
+    def SetFamilyPrescribedLinVelX(self, family, vx, dictate: bool = True):
+        self._axis_prescribe(family, "lin_vel", 0, vx, dictate)
+
+    def SetFamilyPrescribedLinVelY(self, family, vy, dictate: bool = True):
+        self._axis_prescribe(family, "lin_vel", 1, vy, dictate)
+
+    def SetFamilyPrescribedLinVelZ(self, family, vz, dictate: bool = True):
+        self._axis_prescribe(family, "lin_vel", 2, vz, dictate)
+
+    def SetFamilyPrescribedAngVelX(self, family, wx, dictate: bool = True):
+        self._axis_prescribe(family, "rot_vel", 0, wx, dictate)
+
+    def SetFamilyPrescribedAngVelY(self, family, wy, dictate: bool = True):
+        self._axis_prescribe(family, "rot_vel", 1, wy, dictate)
+
+    def SetFamilyPrescribedAngVelZ(self, family, wz, dictate: bool = True):
+        self._axis_prescribe(family, "rot_vel", 2, wz, dictate)
+
+    def SetFamilyPrescribedPositionX(self, family, x):
+        self._axis_prescribe(family, "lin_pos", 0, x)
+
+    def SetFamilyPrescribedPositionY(self, family, y):
+        self._axis_prescribe(family, "lin_pos", 1, y)
+
+    def SetFamilyPrescribedPositionZ(self, family, z):
+        self._axis_prescribe(family, "lin_pos", 2, z)
 
     def _vec_fn(self, comps):
         def fn(t):
@@ -1084,6 +1165,19 @@ class DEMSolver:
             spheres=spheres.replace(wildcards=wc)
         )
 
+    def SetSphereWildcardValue(self, geo_id, name: str, vals):
+        """Per-sphere geometry wildcard, reference API.h:941 (geoID is the
+        first sphere component; vals covers geoID..geoID+len-1)."""
+        vals = np.atleast_1d(np.asarray(vals, np.float32))
+        ids = np.arange(int(geo_id), int(geo_id) + len(vals))
+        self.SetGeometryWildcardValue(name, vals, geo_ids=ids)
+
+    def GetSphereWildcardValue(self, geo_id, name: str, n: int = 1):
+        """Reference API.h:1008: n wildcard values starting at sphere
+        geoID."""
+        wc = np.asarray(self.state.spheres.wildcards[name])
+        return wc[int(geo_id):int(geo_id) + int(n)]
+
     def SetTriWildcardValue(self, name: str, vals, tri_ids=None):
         """Triangle-geometry wildcard setter (reference API.h:996-1005)."""
         tris = self.state.tris
@@ -1186,6 +1280,20 @@ class DEMSolver:
             self.state = self.state.replace(
                 **{tname: table.replace(wildcards=wc)}
             )
+
+    def SetContactWildcardValue(self, name: str, val: float):
+        """All live contacts (reference API.h:918)."""
+        self.SetContactWildcardValueAll(name, val)
+
+    def SetFamilyContactWildcardValueEither(self, family: int, name: str,
+                                            val: float):
+        """Contacts with EITHER side in `family` (reference API.h:921)."""
+        self.SetFamilyContactWildcardValue(family, name, val)
+
+    def SetFamilyContactWildcardValueBoth(self, family: int, name: str,
+                                          val: float):
+        """Contacts with BOTH sides in `family` (reference API.h:929)."""
+        self.SetFamilyContactWildcardValue(family, family, name, val)
 
     # ------------------------------------------------------------------
     # exact binary checkpointing (beyond the reference's CSV round-trip)
@@ -1874,6 +1982,161 @@ class DEMSolver:
         h is a traced runtime param, so no recompilation."""
         self.SetTimeStepSize(h)
 
+    # --- small state getters / source-compat surface (API.h:90-330) ----
+    def GetTimeStepSize(self) -> float:
+        return float(self._h)
+
+    def GetSimTime(self) -> float:
+        """Alias of GetTime (reference API.h:246)."""
+        return self.GetTime()
+
+    def SetSimTime(self, t: float):
+        self.SetTime(t)
+
+    def GetExpandFactor(self) -> float:
+        """The fixed CD margin length (reference API.h:105)."""
+        return float(self._expand_adder)
+
+    def GetInitStatus(self) -> bool:
+        return bool(self._initialized)
+
+    def GetWhetherForceCollectInKernel(self) -> bool:
+        """True: the fused force pass reduces wrenches in-kernel
+        (reference API.h:536; our only mode — there is no separate
+        CUB-sweep collection to fall back to)."""
+        return True
+
+    def SyncMemoryTransfer(self):
+        """Block until all queued device work/transfers finish (reference
+        API.h:250 — there it drains the worker streams)."""
+        jax.block_until_ready(jax.tree_util.tree_leaves(self.state))
+
+    def InstructNumOwners(self, n: int):
+        """Owner-count hint (reference API.h:161). Capacities here derive
+        from the actual loads at Initialize and grow on overflow, so the
+        hint is not needed."""
+
+    def DisableAdaptiveUpdateFreq(self):
+        """Pin the CD cadence to the user setting (reference API.h:183)."""
+        self.UseAdaptiveUpdateFreq(False)
+
+    def DisableAdaptiveBinSize(self):
+        """Source compat (reference API.h:174): the bin grid is re-derived
+        from traced margins at every refresh (free of recompiles), so
+        there is no host-side bin-size feedback loop to disable; pin a
+        size with SetBinSize if determinism across refreshes is wanted."""
+
+    def SetAdaptiveBinSizeAcc(self, acc):
+        pass  # no host bin-size feedback loop (see DisableAdaptiveBinSize)
+
+    def SetAdaptiveBinSizeMaxRate(self, rate):
+        pass  # ditto
+
+    def SetAdaptiveBinSizeLowerProactivity(self, p):
+        pass  # ditto
+
+    def SetAdaptiveBinSizeUpperProactivity(self, p):
+        pass  # ditto
+
+    def SetInitBinSizeAsMultipleOfSmallestSphere(self, m):
+        """Source compat (reference API.h:168): our grid derives from the
+        LARGEST reach (one-bin-per-sphere CD, ops/binning.py) and the
+        two-class split handles wide size ratios; the smallest-sphere
+        multiple has no equivalent knob."""
+
+    def SetCDNumStepsMaxDriftHistorySize(self, n):
+        """Source compat (reference API.h:186): the adaptive-K tuner keeps
+        per-rung wall-time EMAs (solver.Engine._k_perf), not a drift
+        history buffer."""
+
+    def SetCDNumStepsMaxDriftMultipleOfAvg(self, m):
+        pass  # see SetCDNumStepsMaxDriftHistorySize
+
+    def SetExpandSafetyType(self, kind: str = "auto"):
+        """Reference API.h:214: 'auto' derives the margin from the
+        max-velocity inspector each CD round — which is what the traced
+        margin computation (solver.sphere_margins) always does here."""
+
+    def GetDeviceMemUsageDynamic(self) -> int:
+        """Modeled HBM bytes of the step program: state + step transient
+        (reference API.h:576 dT->estimateDeviceMemUsage)."""
+        from .solver import estimate_hbm_peak
+
+        mem = estimate_hbm_peak(self.state, self.engine.cfg)
+        return int(mem["state"] + mem["step_transient"])
+
+    def GetDeviceMemUsageKinematic(self) -> int:
+        """Modeled HBM bytes of the CD refresh transient (reference
+        API.h:582 kT->estimateDeviceMemUsage)."""
+        from .solver import estimate_hbm_peak
+
+        mem = estimate_hbm_peak(self.state, self.engine.cfg)
+        return int(mem["refresh_transient"])
+
+    def GetHostMemUsageDynamic(self) -> int:
+        return 0  # no persistent host mirrors of device state
+
+    def GetHostMemUsageKinematic(self) -> int:
+        return 0
+
+    def PrintKinematicScratchSpaceUsage(self):
+        print(f"[mem] CD refresh transient (model): "
+              f"{self.GetDeviceMemUsageKinematic() / 1e6:.1f} MB")
+
+    def ClearThreadCollaborationStats(self):
+        pass  # single fused program: nothing accumulates
+
+    def ClearCache(self):
+        """Reference API.h:662 frees host-side staged initialization
+        arrays. Staged batches here are consumed at Initialize /
+        UpdateClumps; nothing persists to free."""
+
+    def GetContactForceModel(self):
+        """The force model in effect (reference GetContactForceModel)."""
+        return self._force_model
+
+    def GetContacts(self, families=None):
+        """Live contact owner-id pairs, optionally filtered to owners
+        whose family is in `families` (reference API.h:532-549)."""
+        pairs = self.GetClumpContacts()
+        if families is None:
+            return pairs
+        fams = np.asarray(self.state.owners.family)
+        inc = np.isin(fams[pairs[:, 0]], list(families)) | np.isin(
+            fams[pairs[:, 1]], list(families))
+        return pairs[inc]
+
+    def GetOwnerContactForces(self, owner_ids):
+        """Contact points and forces for each listed owner (reference
+        API.h:912): returns (points, forces) stacked over all the owners'
+        live contacts; device-side filtering per owner."""
+        pts_all, fs_all = [], []
+        for oid in np.atleast_1d(np.asarray(owner_ids, np.int64)):
+            pts, fs = self._contact_forces_for_owner(int(oid))
+            pts_all.append(pts)
+            fs_all.append(fs)
+        if not pts_all:
+            return np.zeros((0, 3)), np.zeros((0, 3))
+        return np.concatenate(pts_all), np.concatenate(fs_all)
+
+    def PythonTrack(self, obj) -> DEMTracker:
+        """Alias of Track (reference API.h:670 keeps a cached shared_ptr
+        for python callers; our trackers are plain handles)."""
+        return self.Track(obj)
+
+    def GetCachedMesh(self, owner_id: int):
+        """The mesh object attached to an owner (reference API.h:494)."""
+        for m in self._meshes:
+            if m.owner_id == int(owner_id):
+                return m
+        raise KeyError(f"owner {owner_id} has no cached mesh")
+
+    def SetTriNodeRelPos(self, owner_id: int, new_nodes):
+        """Deformable-mesh node update by owner id (reference API.h:489);
+        `new_nodes` are body-frame vertex positions."""
+        mesh = self.GetCachedMesh(owner_id)
+        DEMTracker(self, [owner_id], obj=mesh).UpdateMesh(new_nodes)
+
     def GetOwnerPosition(self, ids=None):
         st = self.state.owners
         p = voxel.decode_host(
@@ -2444,6 +2707,9 @@ class DEMSolver:
     ReadClumpVelFromCsv = staticmethod(io_utils.read_clump_vel_from_csv)
     ReadClumpAngVelFromCsv = staticmethod(
         io_utils.read_clump_ang_vel_from_csv
+    )
+    ReadClumpFloat3FromCsv = staticmethod(
+        io_utils.read_clump_float3_from_csv
     )
     ReadContactPairsFromCsv = staticmethod(
         io_utils.read_contact_pairs_from_csv

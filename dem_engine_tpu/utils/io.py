@@ -235,6 +235,18 @@ def read_clump_ang_vel_from_csv(path):
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+def read_clump_float3_from_csv(path, xcol, ycol, zcol):
+    """Generic float3-column reader keyed by clump type (reference
+    API.h:1131 ReadClumpFloat3FromCsv): {type_name: (n,3) array}."""
+    out: Dict[str, list] = {}
+    for row in _read_csv(path):
+        name = row.get("clump_type", "")
+        out.setdefault(name, []).append(
+            [float(row[xcol]), float(row[ycol]), float(row[zcol])]
+        )
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
 def read_contact_pairs_from_csv(path):
     rows = _read_csv(path)
     idA = np.asarray([int(r["A"]) for r in rows], np.int32)

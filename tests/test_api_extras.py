@@ -250,6 +250,72 @@ def test_round3_api_stragglers():
     assert s.engine.max_freq == 50
 
 
+def test_set_expand_factor_fixed_margin():
+    """SetExpandFactor(beta, fix=True) pins the CD margin to a constant
+    length and stops velocity tracking (reference API.h:199)."""
+    s, _ = _simple_solver(n=2, r=0.02)
+    s.Initialize()
+    s.SetExpandFactor(0.005)
+    assert abs(float(s.params.expand_safety_adder) - 0.005) < 1e-8
+    assert float(s.params.expand_safety_multi) == 0.0
+    s.SetCollectAccRightAfterForceCalc()  # source-compat no-ops
+    s.SetAdaptiveTimeStepType("none")
+
+
+def test_per_axis_prescriptions_accumulate():
+    """X/Y/Z component setters accumulate into one prescription
+    (reference API.h:712-760)."""
+    s, _ = _simple_solver(n=2, family=[3, 0])
+    s.SetFamilyPrescribedLinVelX(3, 0.5)
+    s.SetFamilyPrescribedLinVelZ(3, lambda t: 0.25)
+    s.Initialize()
+    s.DoDynamics(10 * 1e-4)
+    v = s.GetOwnerVelocity([0])[0]
+    assert np.allclose(v, [0.5, 0.0, 0.25], atol=1e-6), v
+    # per-axis position prescription on top
+    s.SetFamilyPrescribedPositionY(3, 0.125)
+    s.DoDynamics(10 * 1e-4)
+    p = s.GetOwnerPosition([0])[0]
+    assert abs(p[1] - 0.125) < 1e-5, p
+
+
+def test_round3b_api_stragglers(tmp_path):
+    """GetExpandFactor/GetTimeStepSize/GetSimTime/GetContacts/
+    GetOwnerContactForces/sphere wildcards/contact wildcard aliases/
+    mem-usage getters (reference API.h:90-1014)."""
+    s, _ = _simple_solver(n=3, r=0.02)
+    s.SetContactWildcards({"w"})
+    s.SetGeometryWildcards({"g"})
+    s.Initialize()
+    assert s.GetInitStatus()
+    assert abs(s.GetTimeStepSize() - 1e-4) < 1e-12
+    assert s.GetSimTime() == s.GetTime()
+    s.SetExpandFactor(0.003)
+    assert abs(s.GetExpandFactor() - 0.003) < 1e-12
+    assert s.GetWhetherForceCollectInKernel() is True
+    s.SyncMemoryTransfer()
+    assert s.GetDeviceMemUsageDynamic() > 0
+    assert s.GetDeviceMemUsageKinematic() > 0
+    s.PrintKinematicScratchSpaceUsage()
+    # sphere wildcards by geo id
+    s.SetSphereWildcardValue(1, "g", [2.5, 3.5])
+    got = s.GetSphereWildcardValue(1, "g", 2)
+    assert np.allclose(got, [2.5, 3.5])
+    # contact wildcard aliases run (no live contacts needed)
+    s.SetContactWildcardValue("w", 1.0)
+    s.SetFamilyContactWildcardValueEither(0, "w", 2.0)
+    s.SetFamilyContactWildcardValueBoth(0, "w", 3.0)
+    assert s.GetContacts().shape[1] == 2
+    pts, fs = s.GetOwnerContactForces([0, 1])
+    assert pts.shape[1] == 3 and fs.shape[1] == 3
+    assert s.GetContactForceModel() is not None
+    # generic float3 CSV reader
+    p = tmp_path / "c.csv"
+    p.write_text("x,y,z\n1,2,3\n4,5,6\n")
+    d = s.ReadClumpFloat3FromCsv(str(p), "x", "y", "z")
+    assert np.allclose(d[""], [[1, 2, 3], [4, 5, 6]])
+
+
 def test_family_material_reassign_and_duplicate():
     s = dem.DEMSolver()
     s.SetVerbosity("QUIET")
