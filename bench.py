@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (this machine's "
                          "sitecustomize overrides JAX_PLATFORMS)")
+    ap.add_argument("--uniq", type=int, default=0,
+                    help="unique-other-owner fetch capacity for the fused "
+                         "pass (0 = direct per-contact gather)")
     ap.add_argument("--timers", action="store_true",
                     help="print the engine timer breakdown to stderr")
     args = ap.parse_args()
@@ -59,6 +62,7 @@ def main():
     cfg, state, params = _build_case(
         n_clumps=n, update_freq=args.update_freq,
         poly_frac=0.2 if args.poly else 0.0,
+        **({"uniq_cap": args.uniq} if args.uniq else {}),
     )
     eng = Engine(cfg)
     eng.auto_freq = args.auto

@@ -1691,12 +1691,17 @@ class DEMSolver:
         n = len(idA)
         cap = max(cfg.cap_ss, n)
         from .ops.forces import premix_names
+        old_ss = self.state.ss
         table = ContactTable.empty(
             cap, cfg.force_model.contact_wildcards,
             premix_names(cfg.force_model),
             fused=cfg.force_model.fused_variant is not None,
             slim=cfg.use_fused_force,
+            uniq_rows=old_ss.uniq_a.shape[0],
         )
+        if old_ss.uniq_a.shape[0]:
+            table = table.replace(uniq_a=old_ss.uniq_a,
+                                  uniq_b=old_ss.uniq_b)
         table = table.replace(
             idA=table.idA.at[:n].set(jnp.asarray(idA, I)),
             idB=table.idB.at[:n].set(jnp.asarray(idB, I)),

@@ -134,6 +134,12 @@ def make_state(owners: Owners, spheres: Spheres, cfg: SolverConfig,
     from .ops.forces import premix_names
 
     pn = premix_names(cfg.force_model)
+    fused = cfg.force_model.fused_variant is not None
+    uniq_rows = 0
+    if cfg.uniq_cap and fused:
+        from .ops.pallas_force import OB
+
+        uniq_rows = -(-owners.n // OB) * cfg.uniq_cap
     return SimState(
         owners=owners,
         spheres=spheres,
@@ -141,8 +147,9 @@ def make_state(owners: Owners, spheres: Spheres, cfg: SolverConfig,
         anals=anals if anals is not None else empty_analyticals(),
         ss=ContactTable.empty(
             cfg.cap_ss, wc, pn,
-            fused=cfg.force_model.fused_variant is not None,
+            fused=fused,
             slim=cfg.use_fused_force,
+            uniq_rows=uniq_rows,
         ),
         st=ContactTable.empty(cfg.cap_st, wc, pn),
         sa=ContactTable.empty(cfg.cap_sa, wc, pn),

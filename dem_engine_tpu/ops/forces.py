@@ -120,10 +120,51 @@ def premix_names(model) -> Tuple[str, ...]:
 #   [17] massA [18] massB [19:22] moiA [22:25] moiB [25] famA [26] famB
 
 
+def _uniq_layout(own_ids, other_ids, n_owners, ob, uniq_cap):
+    """Per-block unique other-owner list + per-row local rank for one
+    owner-sorted fused-pass layout whose rows are ordered by
+    (own, other) — see ContactTable.uidx.
+
+    own_ids:   i32[cap] reducing-side owner, dead rows >= n_owners (trail).
+    other_ids: i32[cap] other-side owner (any value on dead rows).
+    Returns (uidx f32[cap], uniq i32[n_blocks*uniq_cap] other-owner ids
+    (dead slots = n_owners), umax i32[] largest per-block unique count)."""
+    cap = own_ids.shape[0]
+    n_blocks = -(-n_owners // ob)
+    live = own_ids < n_owners
+    blk0 = jnp.where(live, own_ids // ob, n_blocks)
+    oth0 = jnp.where(live, other_ids, -1)
+    # rows are sorted by (own, other), but the SAME other re-appears under
+    # different owners of one block — group by (block, other) to rank
+    # (the extra sorts run once per refresh, amortized over K steps)
+    blk, oth, row = jax.lax.sort(
+        (blk0, oth0, jnp.arange(cap, dtype=I)), num_keys=2
+    )
+    prev_blk = jnp.concatenate([jnp.full((1,), -2, I), blk[:-1]])
+    prev_oth = jnp.concatenate([jnp.full((1,), -2, I), oth[:-1]])
+    live_z = blk < n_blocks
+    is_first = live_z & ((blk != prev_blk) | (oth != prev_oth))
+    grank = jnp.cumsum(is_first.astype(I)) - 1
+    base = jax.lax.cummax(
+        jnp.where((blk != prev_blk) & live_z, grank, -(2**30))
+    )
+    u = jnp.where(live_z, grank - base, 0)
+    umax = jnp.max(jnp.where(live_z, u, -1)) + 1
+    uc = jnp.minimum(u, uniq_cap - 1)
+    slot = jnp.where(is_first & (u < uniq_cap),
+                     blk * uniq_cap + uc, 2**30)
+    uniq = jnp.full((n_blocks * uniq_cap,), n_owners, I).at[slot].set(
+        jnp.where(live_z, oth, n_owners), mode="drop", unique_indices=True
+    )
+    # rank back to table row order
+    _, uc_row = jax.lax.sort((row, uc), num_keys=1)
+    return uc_row.astype(F), uniq, umax.astype(I)
+
+
 def finalize_table(kind, table: ContactTable, owners: Owners,
                    spheres: Spheres, tris: Triangles, anals: Analyticals,
                    params: RuntimeParams, model,
-                   slim: bool = False) -> ContactTable:
+                   slim: bool = False, uniq_cap: int = 0) -> ContactTable:
     """Sort the table by A-side owner, rebuild the B-side permutation, and
     denormalize all refresh-constant data (the TPU answer to the
     reference's per-step component/material acquisition strategies,
@@ -148,16 +189,19 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
 
     wc_names = sorted(table.wildcards)
     key = jnp.where(live0, own_a0, _I32MAX)
-    ops = (key, table.idA, table.idB, table.persist, own_a0, own_b0) + tuple(
-        table.wildcards[k] for k in wc_names
-    )
-    sorted_ops = jax.lax.sort(ops, num_keys=1)
-    idA = sorted_ops[1]
-    idB = sorted_ops[2]
-    persist = sorted_ops[3]
-    own_a = sorted_ops[4]
-    own_b = sorted_ops[5]
-    wildcards = dict(zip(wc_names, sorted_ops[6:]))
+    # secondary key own_b: within an owner's run, rows ordered by the
+    # other side's owner — the unique-other fetch (uniq_cap) needs
+    # same-other rows adjacent, and the order is otherwise free
+    key2 = jnp.where(live0, own_b0, _I32MAX)
+    ops = (key, key2, table.idA, table.idB, table.persist, own_a0,
+           own_b0) + tuple(table.wildcards[k] for k in wc_names)
+    sorted_ops = jax.lax.sort(ops, num_keys=2)
+    idA = sorted_ops[2]
+    idB = sorted_ops[3]
+    persist = sorted_ops[4]
+    own_a = sorted_ops[5]
+    own_b = sorted_ops[6]
+    wildcards = dict(zip(wc_names, sorted_ops[7:]))
 
     live = idA >= 0
     iA = jnp.where(live, idA, 0)
@@ -186,8 +230,9 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
 
     # ---- B-side permutation ------------------------------------------------
     keyB = jnp.where(live, own_b, _I32MAX)
-    keyB_s, perm_b = jax.lax.sort(
-        (keyB, jnp.arange(cap, dtype=I)), num_keys=1
+    keyB2 = jnp.where(live, own_a, _I32MAX)  # tie: other side (uniq fetch)
+    keyB_s, _, perm_b = jax.lax.sort(
+        (keyB, keyB2, jnp.arange(cap, dtype=I)), num_keys=2
     )
     own_b_sorted = jnp.where(keyB_s == _I32MAX, n_owners, keyB_s)
 
@@ -247,6 +292,19 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
         )
         wcb = gather_rows(wc_cm, perm_b).T
 
+    uidx, uidx_b = table.uidx, table.uidx_b
+    uniq_a, uniq_b = table.uniq_a, table.uniq_b
+    uniq_max = jnp.zeros((), I)
+    if fused and uniq_cap > 0:
+        from .pallas_force import OB as _OB
+
+        uidx, uniq_a, umax_a = _uniq_layout(
+            jnp.where(live, own_a, n_owners),
+            jnp.where(live, own_b, 0), n_owners, _OB, uniq_cap)
+        uidx_b, uniq_b, umax_b = _uniq_layout(
+            own_b_sorted, own_a_b, n_owners, _OB, uniq_cap)
+        uniq_max = jnp.maximum(umax_a, umax_b)
+
     return ContactTable(
         idA=idA,
         idB=idB,
@@ -266,6 +324,11 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
         fstat_b=fstat_b,
         wcb=wcb,
         own_a_b=own_a_b,
+        uidx=uidx,
+        uidx_b=uidx_b,
+        uniq_a=uniq_a,
+        uniq_b=uniq_b,
+        uniq_max=uniq_max,
     )
 
 

@@ -152,4 +152,9 @@ def carry_history(
         fstat_b=old.fstat_b,
         wcb=old.wcb,
         own_a_b=old.own_a_b,
+        uidx=old.uidx,
+        uidx_b=old.uidx_b,
+        uniq_a=old.uniq_a,
+        uniq_b=old.uniq_b,
+        uniq_max=old.uniq_max,
     ), n_lost

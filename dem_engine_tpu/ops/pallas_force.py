@@ -317,18 +317,26 @@ def _hertz_rows_real(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False):
-    def kernel(cr_ref, krec_ref, fstat_hbm, *rest):
+def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False,
+                 ub=0):
+    """ub > 0 = unique-other-owner mode: instead of streaming pre-gathered
+    (16, ch) other-side records, the block's distinct other owners arrive
+    as a (ub, 16) VMEM slab and each chunk reconstructs its per-contact
+    records with a second one-hot matmul from the streamed local unique
+    index (ContactTable.uidx)."""
+    def kernel(cr_ref, krec_ref, *rest):
         it = iter(rest)
+        uslab_ref = next(it) if ub else None
+        fstat_hbm = next(it)
         wc_hbm = next(it) if with_friction else None
-        ot_hbm = next(it)
+        ot_hbm = next(it)  # (16, capp) records, or (1, capp) uidx when ub
         hs_ref = next(it)
         acc_ref = next(it)
         wcout_hbm = next(it) if with_friction else None
         ext_hbm = next(it) if extras else None
         fstat_s = next(it)
         wc_s = next(it) if with_friction else None
-        ot_s = next(it)
+        ot_s = next(it)  # (2, 16, ch) records or (2, 1, ch) uidx
         wcob_s = next(it) if with_friction else None
         wcrb_s = next(it) if with_friction else None
         ext_s = next(it) if extras else None
@@ -370,6 +378,9 @@ def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False):
         )  # loop-invariant (ob, 16) x3 — owner records ride row-major
         # (the same (N,16) array feeds the i16 row gathers; dim-0
         # contraction below saves the per-step (N,16)->(16,N) transpose)
+        uslab_parts = (
+            _split3(uslab_ref[...]) if (ub and BF16X3) else None
+        )  # loop-invariant (ub, 16) x3 unique other-owner records
 
         # double-buffered input streams: chunk k lands in slot k%2; the
         # k+1 DMAs start before the k waits so the HBM streams ride behind
@@ -440,7 +451,27 @@ def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False):
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-            ot = ot_s[slot]
+            if ub:
+                # reconstruct the other side's records from the block's
+                # unique slab: a second one-hot matmul on the MXU (same
+                # exactness argument as the krec fetch). Rows outside this
+                # block carry another block's uidx — their E2 column is
+                # zeroed (their outputs are discarded by inblk/mine anyway,
+                # this just keeps the garbage finite).
+                ui = ot_s[slot][0:1, :].astype(jnp.int32)
+                E2 = ((jax.lax.broadcasted_iota(jnp.int32, (ub, ch), 0)
+                       == ui) & inblk).astype(
+                          jnp.bfloat16 if BF16X3 else F)
+                if BF16X3:
+                    ot = _mm3(uslab_parts, E2, (((0,), (0,)), ((), ())))
+                else:
+                    ot = jax.lax.dot_general(
+                        uslab_ref[...], E2, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+            else:
+                ot = ot_s[slot]
             Ak, Bk = (ot, kin) if side_b else (kin, ot)
 
             out = _hertz_rows(
@@ -514,7 +545,7 @@ def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False):
 
 def fused_hertz_pass(fstat, wcT, krecT, otT, cr, n_blocks, h,
                      voxel_size, with_friction, side_b, interpret=False,
-                     ch=None, ob=None, extras=False):
+                     ch=None, ob=None, extras=False, uslab=None, ub=0):
     """Run one fused force pass over one owner-sorted layout. All array
     layouts are field-major:
 
@@ -522,7 +553,10 @@ def fused_hertz_pass(fstat, wcT, krecT, otT, cr, n_blocks, h,
       wcT (4, capp) this layout's wildcards or None,
       krecT (n_blocks*ob, 16) owner kinematic records (one-hot side;
           row-major — shared layout with the i16 row gathers),
-      otT (16, capp) other-side kinematics (pre-gathered),
+      otT (16, capp) other-side kinematics (pre-gathered); with ub > 0
+          instead the (1, capp) unique-index stream (ContactTable.uidx)
+          while uslab (n_blocks*ub, 16) carries each block's unique
+          other-owner records,
       cr (2*n_blocks,) i32 per-block [cstart, cend) contact ranges,
       h: f32[] traced step size.
 
@@ -539,9 +573,14 @@ def fused_hertz_pass(fstat, wcT, krecT, otT, cr, n_blocks, h,
     in_specs = [
         pl.BlockSpec((ob, 16), lambda i, b: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.HBM),
     ]
-    inputs = [krecT, fstat]
+    inputs = [krecT]
+    if ub:
+        in_specs.append(pl.BlockSpec((ub, 16), lambda i, b: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(uslab)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    inputs.append(fstat)
     if with_friction:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         inputs.append(wcT)
@@ -565,7 +604,8 @@ def fused_hertz_pass(fstat, wcT, krecT, otT, cr, n_blocks, h,
     scratch = [pltpu.VMEM((2, fstat.shape[0], ch), jnp.float32)]
     if with_friction:
         scratch.append(pltpu.VMEM((2, 4, ch), jnp.float32))   # wildcards in
-    scratch.append(pltpu.VMEM((2, 16, ch), jnp.float32))      # other-side kin
+    # other-side kinematic records, or the uidx stream in unique mode
+    scratch.append(pltpu.VMEM((2, 16 if not ub else 1, ch), jnp.float32))
     if with_friction:
         scratch.append(pltpu.VMEM((2, 4, ch), jnp.float32))   # wc out
         scratch.append(pltpu.VMEM((4, ch), jnp.float32))      # wc readback
@@ -575,7 +615,7 @@ def fused_hertz_pass(fstat, wcT, krecT, otT, cr, n_blocks, h,
 
     out = pl.pallas_call(
         _make_kernel(ch, ob, float(voxel_size), with_friction, side_b,
-                     extras=extras),
+                     extras=extras, ub=ub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_blocks,),
@@ -650,18 +690,37 @@ def fused_step_ss(table, owners, params, voxel_size, model, krec,
         [krec, jnp.zeros((npad - n_owners, krec.shape[1]), F)], axis=0
     )
 
-    # ONE merged row-gather for both passes' other-side kinematics (two
-    # 3.93M-row gathers cost 40 ms, the merged one 36 — tools/profile_*)
-    own_b = jnp.where(live, table.own_b, 0)
-    both = forces.gather_rows(
-        krec, jnp.concatenate([own_b, table.own_a_b])).T
-    btT = _pad_cols(both[:, :cap], pad)
-    atT = _pad_cols(both[:, cap:], pad)
+    ub = 0
+    uslab_a = uslab_b = None
+    if table.uniq_a.shape[0]:
+        # unique-other mode: gather only each block's DISTINCT other-side
+        # owners (one merged gather over both layouts' unique lists) and
+        # let the kernel expand per-contact records with a one-hot matmul
+        # from the streamed uidx. Cuts the step's dominant gather from
+        # 2*cap rows to the unique counts (~2.5-5x fewer on settled beds).
+        nu = table.uniq_a.shape[0]
+        ub = nu // n_blocks
+        assert ub * n_blocks == nu, (nu, n_blocks)
+        merged = jnp.minimum(
+            jnp.concatenate([table.uniq_a, table.uniq_b]), n_owners - 1)
+        slabs = forces.gather_rows(krec, merged)
+        uslab_a, uslab_b = slabs[:nu], slabs[nu:]
+        btT = _pad_cols(table.uidx.reshape(1, cap), pad)
+        atT = _pad_cols(table.uidx_b.reshape(1, cap), pad)
+    else:
+        # ONE merged row-gather for both passes' other-side kinematics
+        # (two 3.93M-row gathers cost 40 ms, the merged one 36 —
+        # tools/profile_*)
+        own_b = jnp.where(live, table.own_b, 0)
+        both = forces.gather_rows(
+            krec, jnp.concatenate([own_b, table.own_a_b])).T
+        btT = _pad_cols(both[:, :cap], pad)
+        atT = _pad_cols(both[:, cap:], pad)
 
     outA = fused_hertz_pass(
         fstatA, wcT, krecT, btT, cr_a, n_blocks, params.h,
         voxel_size, with_friction, side_b=False, interpret=interpret,
-        extras=extras,
+        extras=extras, uslab=uslab_a, ub=ub,
     )
     accA, wcA_out = outA[0], outA[1]
 
@@ -677,6 +736,7 @@ def fused_step_ss(table, owners, params, voxel_size, model, krec,
     accB, wcB_out = fused_hertz_pass(
         fstatB, wcbT, krecT, atT, cr_b, n_blocks, params.h,
         voxel_size, with_friction, side_b=True, interpret=interpret,
+        uslab=uslab_b, ub=ub,
     )
 
     acc = (accA + accB)[:6, :n_owners].T

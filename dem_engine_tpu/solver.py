@@ -38,6 +38,7 @@ from .state import (
     OVF_SPATIAL_BUCKET,
     OVF_ST_OCC,
     OVF_TRI_BINS,
+    OVF_UNIQ,
     OVF_VEL,
     ContactTable,
     RuntimeParams,
@@ -254,8 +255,11 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     overflow = jnp.where(n_ss > cfg.cap_ss, OVF_SS_CAP, 0).astype(I)
     ss = forces.finalize_table("ss", ss, owners, spheres, tris, anals,
                                params, cfg.force_model,
-                               slim=cfg.use_fused_force)
+                               slim=cfg.use_fused_force,
+                               uniq_cap=cfg.uniq_cap)
     overflow |= jnp.where(ss.count > cfg.cap_ss, OVF_SS_CAP, 0)
+    if cfg.uniq_cap:
+        overflow |= jnp.where(ss.uniq_max > cfg.uniq_cap, OVF_UNIQ, 0)
     ss = ss.replace(count=jnp.minimum(ss.count, cfg.cap_ss))
     if cfg.cd_two_class:
         overflow |= jnp.where(bin_ovf, OVF_BIN_OCC, 0)
@@ -490,7 +494,7 @@ def run_chunks(state: SimState, params: RuntimeParams, cfg: SolverConfig,
 
 _CAP_OVF = (OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC
             | OVF_TRI_BINS | OVF_ST_OCC | OVF_PALLAS_WIN
-            | OVF_SPATIAL_BUCKET)
+            | OVF_SPATIAL_BUCKET | OVF_UNIQ)
 
 
 def estimate_hbm_peak(state: SimState, cfg: SolverConfig) -> Dict[str, float]:
@@ -716,11 +720,29 @@ class Engine:
                 changes["st_bruteforce"] = True
             else:
                 changes["max_tri_span"] = min(cfg.max_tri_span * 2, 16)
+        if ovf & OVF_UNIQ:
+            # per-block unique-other list overflowed: double its capacity;
+            # past 4096 the expansion matmul costs more than the gather it
+            # replaces — revert to the direct per-contact gather
+            changes["uniq_cap"] = (cfg.uniq_cap * 2
+                                   if cfg.uniq_cap < 4096 else 0)
         self.cfg = dataclasses.replace(cfg, **changes)
         self._build()
+        ss = state.ss.grown(self.cfg.cap_ss)
+        if "uniq_cap" in changes:
+            from .ops.pallas_force import OB as _OB
+
+            rows = (-(-state.owners.n // _OB)) * self.cfg.uniq_cap
+            ucap = ss.cap if rows else 0
+            ss = ss.replace(
+                uniq_a=jnp.full((rows,), state.owners.n, I),
+                uniq_b=jnp.full((rows,), state.owners.n, I),
+                uidx=jnp.zeros((ucap,), F),
+                uidx_b=jnp.zeros((ucap,), F),
+            )
         return self._replace_tables(
             state,
-            ss=state.ss.grown(self.cfg.cap_ss),
+            ss=ss,
             st=state.st.grown(self.cfg.cap_st),
             sa=state.sa.grown(self.cfg.cap_sa),
         )

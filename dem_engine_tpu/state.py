@@ -195,6 +195,17 @@ class ContactTable:
     fstat_b: jnp.ndarray   # f32[FSTAT_W, C]
     wcb: jnp.ndarray       # f32[WCB_W, C] B-sorted contact wildcards
     own_a_b: jnp.ndarray   # i32[C] own_a[perm_b] (B-pass other-side gather)
+    # unique-other-owner fetch (cfg.uniq_cap > 0): per owner block of the
+    # fused pass, the other side's distinct owners are gathered once and
+    # per-contact records reconstructed in-kernel by a one-hot matmul —
+    # the per-step gather shrinks from cap rows to the unique count.
+    # Layout rows are sorted by (own, other-own), so uidx is the rank of
+    # the row's other-owner within its block's unique list.
+    uidx: jnp.ndarray      # f32[C] A-layout unique index (exact int)
+    uidx_b: jnp.ndarray    # f32[C] B-layout unique index
+    uniq_a: jnp.ndarray    # i32[NB*UB] per-block unique own_b ids
+    uniq_b: jnp.ndarray    # i32[NB*UB] per-block unique own_a ids
+    uniq_max: jnp.ndarray  # i32[] max per-block unique count at refresh
 
     @property
     def cap(self) -> int:
@@ -203,8 +214,9 @@ class ContactTable:
     @staticmethod
     def empty(cap: int, wildcard_names: Tuple[str, ...] = (),
               premix_names: Tuple[str, ...] = (), fused: bool = False,
-              slim: bool = False) -> "ContactTable":
+              slim: bool = False, uniq_rows: int = 0) -> "ContactTable":
         fcap = cap if fused else 0
+        ucap = fcap if uniq_rows else 0
         return ContactTable(
             idA=jnp.full((cap,), -1, I),
             idB=jnp.full((cap,), -1, I),
@@ -225,6 +237,11 @@ class ContactTable:
             fstat_b=jnp.zeros((FSTAT_W, fcap), F).at[0].set(-1.0),
             wcb=jnp.zeros((WCB_W, fcap), F),
             own_a_b=jnp.zeros((fcap,), I),
+            uidx=jnp.zeros((ucap,), F),
+            uidx_b=jnp.zeros((ucap,), F),
+            uniq_a=jnp.zeros((uniq_rows,), I),
+            uniq_b=jnp.zeros((uniq_rows,), I),
+            uniq_max=jnp.zeros((), I),
         )
 
     def _resized(self, new_cap: int) -> "ContactTable":
@@ -278,6 +295,14 @@ class ContactTable:
             wcb=self._cols(self.wcb, new_cap),
             own_a_b=sl_fill(self.own_a_b, 0) if self.own_a_b.shape[0]
             else self.own_a_b,
+            # resized uidx rows are stale; the refresh that always follows
+            # a grow (and precedes stepping after a shrink via the same
+            # dead-rows-trail argument as perm_b) rebuilds them
+            uidx=sl(self.uidx) if self.uidx.shape[0] else self.uidx,
+            uidx_b=sl(self.uidx_b) if self.uidx_b.shape[0] else self.uidx_b,
+            uniq_a=self.uniq_a,
+            uniq_b=self.uniq_b,
+            uniq_max=self.uniq_max,
         )
 
     def _cols(self, m, new_cap, dead_row0=False):
@@ -321,6 +346,7 @@ OVF_AVG_CONTACTS = 256  # avg contacts/sphere above error-out threshold
 OVF_PALLAS_WIN = 512    # pallas sweep slab window exceeded
 OVF_SEGRED = 1024       # pallas segment-reduce owner window exceeded
 OVF_SPATIAL_BUCKET = 2048  # spatial-refresh exchange bucket exceeded
+OVF_UNIQ = 4096         # per-block unique-other-owner count above uniq_cap
 
 
 @pytree_dataclass
@@ -422,6 +448,12 @@ class SolverConfig:
     # the reference's occupancy-aware decideBinSize + kT bin auto-tuner,
     # APIPrivate.cpp:489-566 / kT.cpp:43-98)
     cd_two_class: bool = False
+    # unique-other-owner fetch for the fused pass (0 = off): per-block
+    # unique-list capacity. The refresh builds per-block unique other-owner
+    # lists and local indices; the step gathers only unique kinematic
+    # records and the kernel expands them with a one-hot matmul on the MXU
+    # (cuts the dominant per-step gather by the contact multiplicity)
+    uniq_cap: int = 0
 
     def __hash__(self):
         return hash(
@@ -449,5 +481,6 @@ class SolverConfig:
                 self.spatial_capx,
                 self.ss_family_filter,
                 self.cd_two_class,
+                self.uniq_cap,
             )
         )
