@@ -108,6 +108,29 @@ def test_uniq_overflow_flag_and_engine_growth():
     assert np.isfinite(np.asarray(state2.owners.vel)).all()
 
 
+def test_uniq_survives_capacity_shrink():
+    """maybe_shrink runs between refresh and steps; the sliced uidx rows
+    must stay aligned with the surviving (live-first) table rows."""
+    model = HertzianForceModel()
+    state, params, cfg = _build(60, model, seed=1)
+    cfg_f = dataclasses.replace(cfg, use_fused_force=True)
+    cfg_u = dataclasses.replace(cfg_f, uniq_cap=64)
+    s_d = _refresh(state, params, cfg_f)
+    s_u = _refresh_with_uniq(state, params, cfg_u)
+    new_cap = 1024  # < the build cap of 2048, > live count
+    assert int(s_u.ss.count) < new_cap
+    s_d = s_d.replace(ss=s_d.ss.shrunk(new_cap))
+    s_u = s_u.replace(ss=s_u.ss.shrunk(new_cap))
+    cfg_f2 = dataclasses.replace(cfg_f, cap_ss=new_cap)
+    cfg_u2 = dataclasses.replace(cfg_u, cap_ss=new_cap)
+    for _ in range(2):
+        s_d = dynamics_step(s_d, params, cfg_f2)
+        s_u = dynamics_step(s_u, params, cfg_u2)
+    _close(s_d.owners.vel, s_u.owners.vel, tol=1e-6)
+    for k in s_d.ss.wildcards:
+        _close(s_d.ss.wildcards[k], s_u.ss.wildcards[k], tol=1e-6)
+
+
 def _refresh_with_uniq_state_only(state, cfg_u):
     from dem_engine_tpu.state import ContactTable
     from dem_engine_tpu.ops.forces import premix_names
