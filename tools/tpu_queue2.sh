@@ -41,6 +41,8 @@ echo "=== q2 BENCH 262k auto-K ==="
 timeout 3000 python bench.py --auto --timers 2>&1 | tail -6
 echo "=== q2 BENCH poly 262k ==="
 timeout 3600 python bench.py --poly --timers 2>&1 | tail -6
+echo "=== q2 PROBE uniq A/B ==="
+timeout 3000 python tools/probe_uniq.py 2>&1 | tail -8
 echo "=== q2 BENCH 262k uniq-fetch ==="
 timeout 3600 python bench.py --uniq 1024 --timers 2>&1 | tail -6
 echo "=== q2 BENCH 1M flagship ==="
