@@ -527,6 +527,16 @@ class DEMSolver:
         """Source-compat no-op: drift is deterministic here (fused
         refresh+step program), so there is no async drift to bound."""
 
+    def SetFusedUniqueFetch(self, cap: int = 1024):
+        """Unique-other-owner fetch for the fused force pass: per owner
+        block, the step gathers only DISTINCT other-side owner records and
+        reconstructs per-contact kinematics with a one-hot MXU matmul
+        (cuts the step's dominant gather by the contact multiplicity).
+        `cap` bounds each block's unique list; it auto-grows on overflow
+        and reverts to the direct gather past 4096. Call before
+        Initialize; 0 disables. TPU-only (ignored on CPU)."""
+        self._uniq_cap = int(cap)
+
     def SetCDTwoClassGrids(self, flag: bool = True):
         """Force the two-grid polydisperse CD on (True) or off (False).
         Default (never called) = auto: enabled at Initialize when the
@@ -1645,6 +1655,9 @@ class DEMSolver:
             use_fused_force=on_tpu and model.fused_variant is not None,
             ss_family_filter=not bool(np.all(self._family_mask)),
             cd_two_class=two_class,
+            uniq_cap=(getattr(self, "_uniq_cap", 0)
+                      if (on_tpu and model.fused_variant is not None)
+                      else 0),
         )
         self.state = make_state(owners, spheres, cfg, tris=tris, anals=anals)
         self._seed_existing_contacts(cfg)

@@ -89,6 +89,35 @@ def test_uniq_step_matches_direct_fused():
         _close(s_d.ss.wildcards[k], s_u.ss.wildcards[k], tol=1e-6)
 
 
+def test_uniq_extras_pass_matches_direct():
+    """The per-contact extras stream (query support: forces/cpoints) must
+    agree between unique-fetch and direct-gather modes."""
+    import jax
+
+    from dem_engine_tpu.ops import forces as _forces
+    from dem_engine_tpu.ops.pallas_force import fused_step_ss
+
+    model = HertzianForceModel()
+    state, params, cfg = _build(60, model, seed=5)
+    cfg_f = dataclasses.replace(cfg, use_fused_force=True)
+    cfg_u = dataclasses.replace(cfg_f, uniq_cap=64)
+    s_d = _refresh(state, params, cfg_f)
+    s_u = _refresh_with_uniq(state, params, cfg_u)
+
+    def extras(s):
+        krec = _forces.pack_kinematics(s.owners)
+        _, _, tbl = fused_step_ss(
+            s.ss, s.owners, params, cfg.voxel_size, model, krec,
+            extras=True)
+        return tbl
+
+    t_d = jax.jit(extras)(s_d)
+    t_u = jax.jit(extras)(s_u)
+    n = int(t_d.count)  # rows past count are never written by any block
+    _close(t_d.force[:n], t_u.force[:n], tol=1e-6)
+    _close(t_d.cpoint[:n], t_u.cpoint[:n], tol=1e-6)
+
+
 def test_uniq_overflow_flag_and_engine_growth():
     model = HertzianForceModel()
     state, params, cfg = _build(60, model, seed=4)
