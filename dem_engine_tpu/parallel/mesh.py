@@ -10,10 +10,11 @@ inserts automatically from the sharding constraints below (the
 "annotate shardings, let XLA insert collectives" recipe).
 
 With this layout the two dominant costs — per-contact force evaluation and
-per-sphere candidate search — scale with device count, while the replicated
-owner integration is O(N_owners) elementwise and cheap. Spatial domain
-decomposition (halo exchange over `ppermute`) is the planned next level for
-when the replicated owner state itself becomes the bottleneck.
+per-sphere candidate search — scale with device count. The CD refresh
+additionally supports spatial domain decomposition (device-owned x-slabs
+with an `all_to_all` halo exchange, `parallel/spatial.py`,
+cfg.spatial_refresh) so its sort/sweep runs shard-locally instead of over
+a globally sorted table.
 """
 
 from __future__ import annotations
