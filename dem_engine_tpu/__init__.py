@@ -14,7 +14,7 @@ from .defines import (  # noqa: F401
     Verbosity,
 )
 from .api import (BoxRegion, DEMInspector, DEMSolver, DEMTracker,  # noqa: F401
-                  SphereRegion)
+                  GetDEMEDataFile, SphereRegion)
 from .models import (  # noqa: F401
     ContactContext,
     FamilyChange,

@@ -76,6 +76,29 @@ from .utils import io as io_utils
 from .utils.obj_loader import load_obj
 
 
+def GetDEMEDataFile(name: str) -> str:
+    """Resolve a data asset path (reference DEMEPaths.h:32). Searches, in
+    order: $DEME_DATA_DIR, ./data, and the package's data/ directory.
+    Point DEME_DATA_DIR at a DEM-Engine checkout's data/ to run ports of
+    reference demos that load clump CSVs or meshes by name."""
+    import os
+
+    roots = []
+    env = os.environ.get("DEME_DATA_DIR")
+    if env:
+        roots.append(env)
+    roots.append(os.path.join(os.getcwd(), "data"))
+    roots.append(os.path.join(os.path.dirname(__file__), "data"))
+    for r in roots:
+        p = os.path.join(r, name)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(
+        f"data asset {name!r} not found under {roots}; set DEME_DATA_DIR "
+        f"to a data directory containing it"
+    )
+
+
 def _const3(v):
     arr = jnp.asarray(np.asarray(v, np.float32).reshape(3))
     return lambda t: arr
@@ -740,7 +763,15 @@ class DEMSolver:
     # clump templates / batches (reference API.h:320-388, :586-635)
     # ------------------------------------------------------------------
     def LoadClumpType(self, mass, moi, radii, relpos,
-                      materials) -> DEMClumpTemplate:
+                      materials=None) -> DEMClumpTemplate:
+        import os as _os
+
+        if isinstance(radii, (str, _os.PathLike)):
+            # reference overload (API.h:322): the third argument is a
+            # clump CSV (x,y,z,r columns, data/clumps format) and the
+            # fourth the material
+            materials = relpos
+            radii, relpos = io_utils.read_clump_template_csv(radii)
         radii = np.asarray(radii, np.float64).reshape(-1)
         relpos = np.asarray(relpos, np.float64).reshape(-1, 3)
         if isinstance(materials, DEMMaterial):

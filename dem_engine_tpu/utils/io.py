@@ -235,6 +235,21 @@ def read_clump_ang_vel_from_csv(path):
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+def read_clump_template_csv(path):
+    """Clump-template component file: x,y,z,r columns, '#' comment lines
+    (the reference's data/clumps format, read by LoadClumpType's filename
+    overload, API.h:322). Returns (radii (n,), relpos (n,3))."""
+    radii, rel = [], []
+    with open(path, newline="") as f:
+        rows = csv.DictReader(
+            line for line in f if not line.lstrip().startswith("#")
+        )
+        for row in rows:
+            rel.append([float(row["x"]), float(row["y"]), float(row["z"])])
+            radii.append(float(row["r"]))
+    return np.asarray(radii), np.asarray(rel)
+
+
 def read_clump_float3_from_csv(path, xcol, ycol, zcol):
     """Generic float3-column reader keyed by clump type (reference
     API.h:1131 ReadClumpFloat3FromCsv): {type_name: (n,3) array}."""

@@ -316,6 +316,29 @@ def test_round3b_api_stragglers(tmp_path):
     assert np.allclose(d[""], [[1, 2, 3], [4, 5, 6]])
 
 
+def test_clump_template_csv_and_data_file(tmp_path, monkeypatch):
+    """LoadClumpType filename overload (reference API.h:322) +
+    GetDEMEDataFile resolution through DEME_DATA_DIR."""
+    d = tmp_path / "clumps"
+    d.mkdir()
+    (d / "tri.csv").write_text(
+        "x,y,z,r\n0.5,0.3,0,0.8\n0,-0.6,0,0.8\n-0.5,0.3,0,0.8\n"
+        "# volume = whatever\n")
+    monkeypatch.setenv("DEME_DATA_DIR", str(tmp_path))
+    p = dem.GetDEMEDataFile("clumps/tri.csv")
+    s = dem.DEMSolver()
+    s.SetVerbosity("QUIET")
+    mat = s.LoadMaterial({"E": 1e8, "nu": 0.3, "CoR": 0.5, "mu": 0.3,
+                          "Crr": 0.0})
+    t = s.LoadClumpType(1.0, [0.1, 0.1, 0.1], p, mat)
+    assert len(t.radii) == 3 and abs(t.radii[0] - 0.8) < 1e-12
+    assert abs(t.relpos[1][1] + 0.6) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        dem.GetDEMEDataFile("clumps/definitely_missing.csv")
+
+
 def test_family_material_reassign_and_duplicate():
     s = dem.DEMSolver()
     s.SetVerbosity("QUIET")
