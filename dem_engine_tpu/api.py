@@ -248,6 +248,169 @@ class DEMTracker:
             quat_ops.rotate(jnp.asarray(q, F), jnp.asarray(v, F))
         )
 
+    # --- Get*/plural forms (the reference python-binding surface,
+    # AuxClasses.h:93-420) ----------------------------------------------
+    def GetPos(self, offset: int = 0):
+        return self.Pos(offset)
+
+    def GetVel(self, offset: int = 0):
+        return self.Vel(offset)
+
+    def GetAngVelLocal(self, offset: int = 0):
+        return self.AngVelLocal(offset)
+
+    def GetOriQ(self, offset: int = 0):
+        return self.OriQ(offset)
+
+    def GetMass(self, offset: int = 0):
+        return self.Mass(offset)
+
+    def GetMOI(self, offset: int = 0):
+        return self.MOI(offset)
+
+    def GetContactAcc(self, offset: int = 0):
+        return self.ContactAcc(offset)
+
+    def GetContactAngAccLocal(self, offset: int = 0):
+        return self.ContactAngAccLocal(offset)
+
+    def AngVelGlobal(self, offset: int = 0):
+        """Angular velocity rotated to the global frame (body-frame omgBar
+        is the stored quantity)."""
+        o = self._oid(offset)
+        st = self._s.state.owners
+        return np.asarray(quat_ops.rotate(
+            jnp.asarray(st.quat[o], F), jnp.asarray(st.omg[o], F)
+        ), np.float64)
+
+    GetAngVelGlobal = AngVelGlobal
+
+    def GetContactAngAccGlobal(self, offset: int = 0):
+        o = self._oid(offset)
+        st = self._s.state.owners
+        return np.asarray(quat_ops.rotate(
+            jnp.asarray(st.quat[o], F),
+            jnp.asarray(self.ContactAngAccLocal(offset), F),
+        ), np.float64)
+
+    def GetOwnerIDs(self):
+        return list(self.owner_ids)
+
+    def Positions(self):
+        return self._s.GetOwnerPosition(self.owner_ids)
+
+    def Velocities(self):
+        return self._s.GetOwnerVelocity(self.owner_ids)
+
+    def AngularVelocitiesLocal(self):
+        return self._s.GetOwnerAngVel(self.owner_ids)
+
+    def AngularVelocitiesGlobal(self):
+        return np.stack([self.AngVelGlobal(i)
+                         for i in range(len(self.owner_ids))])
+
+    def OrientationQuaternions(self):
+        return self._s.GetOwnerOriQ(self.owner_ids)
+
+    def Masses(self):
+        return self._s.GetOwnerMass(self.owner_ids)
+
+    def MOIs(self):
+        return self._s.GetOwnerMOI(self.owner_ids)
+
+    def GetFamilies(self):
+        return self._s.GetOwnerFamily(self.owner_ids)
+
+    def ContactAccelerations(self):
+        return np.stack([self.ContactAcc(i)
+                         for i in range(len(self.owner_ids))])
+
+    def ContactAngularAccelerationsLocal(self):
+        return np.stack([self.ContactAngAccLocal(i)
+                         for i in range(len(self.owner_ids))])
+
+    def ContactAngularAccelerationsGlobal(self):
+        return np.stack([self.GetContactAngAccGlobal(i)
+                         for i in range(len(self.owner_ids))])
+
+    def GetContactClumps(self, offset: int = 0):
+        """Owner ids of clumps in contact with this one (reference
+        GetOwnerContactClumps)."""
+        return self._s.GetOwnerContactClumps(self._oid(offset))
+
+    def GetContactForcesForAll(self):
+        """(points, forces) over every owner this tracker covers."""
+        return self._s.GetOwnerContactForces(self.owner_ids)
+
+    def GetContactForcesAndGlobalTorque(self, offset: int = 0):
+        """(points, forces, total torque about the owner CoM, global
+        frame). The torque includes the rolling-resistance torque-only
+        forces, which act at the contact point like the contact force
+        (ops/forces wrench assembly)."""
+        oid = self._oid(offset)
+        pts, fs, ts = self._s._contact_forces_for_owner(
+            oid, with_torque=True)
+        com = self.Pos(offset)
+        tq = (np.cross(pts - com, fs + ts).sum(axis=0)
+              if len(pts) else np.zeros(3))
+        return pts, fs, tq
+
+    def GetContactForcesAndLocalTorque(self, offset: int = 0):
+        """Like GetContactForcesAndGlobalTorque, torque in the owner's
+        body frame (the frame MOI/omgBar live in)."""
+        pts, fs, tq = self.GetContactForcesAndGlobalTorque(offset)
+        o = self._oid(offset)
+        st = self._s.state.owners
+        qc = np.asarray(st.quat[o], np.float64) * [1.0, -1.0, -1.0, -1.0]
+        tq_l = np.asarray(quat_ops.rotate(
+            jnp.asarray(qc, F), jnp.asarray(tq, F)), np.float64)
+        return pts, fs, tq_l
+
+    def GetContactForcesAndGlobalTorqueForAll(self):
+        """(points, forces, per-owner global torques (n,3))."""
+        pts_all, fs_all, tqs = [], [], []
+        for i in range(len(self.owner_ids)):
+            p, f, t = self.GetContactForcesAndGlobalTorque(i)
+            pts_all.append(p)
+            fs_all.append(f)
+            tqs.append(t)
+        if not pts_all:
+            return np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3))
+        return (np.concatenate(pts_all), np.concatenate(fs_all),
+                np.stack(tqs))
+
+    def GetContactForcesAndLocalTorqueForAll(self):
+        pts_all, fs_all, tqs = [], [], []
+        for i in range(len(self.owner_ids)):
+            p, f, t = self.GetContactForcesAndLocalTorque(i)
+            pts_all.append(p)
+            fs_all.append(f)
+            tqs.append(t)
+        if not pts_all:
+            return np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 3))
+        return (np.concatenate(pts_all), np.concatenate(fs_all),
+                np.stack(tqs))
+
+    def SetOwnerWildcardValues(self, name: str, vals):
+        self._s.SetOwnerWildcardValue(name, vals,
+                                      owner_ids=self.owner_ids)
+
+    def GetOwnerWildcardValues(self, name: str):
+        return self._s.GetOwnerWildcardValue(name, ids=self.owner_ids)
+
+    def SetGeometryWildcardValues(self, name: str, vals):
+        """Geometry wildcards of the spheres belonging to the tracked
+        owner(s)."""
+        ids = self._geo_ids()
+        self._s.SetGeometryWildcardValue(name, vals, geo_ids=ids)
+
+    def GetGeometryWildcardValues(self, name: str):
+        return self._s.GetGeometryWildcardValue(name, ids=self._geo_ids())
+
+    def _geo_ids(self):
+        own = np.asarray(self._s.state.spheres.owner)
+        return np.nonzero(np.isin(own, self.owner_ids))[0]
+
 
 class BoxRegion:
     """Axis-aligned box region filter for inspectors (the reference's
@@ -2389,6 +2552,7 @@ class DEMSolver:
     def _cfq_filter(state, owner_id, cap_out):
         outs_p = jnp.zeros((cap_out + 1, 3), F)
         outs_f = jnp.zeros((cap_out + 1, 3), F)
+        outs_t = jnp.zeros((cap_out + 1, 3), F)
         total = jnp.zeros((), jnp.int32)
         oid = owner_id.astype(jnp.int32)
         for tbl in (state.ss, state.st, state.sa):
@@ -2408,8 +2572,13 @@ class DEMSolver:
                 outs_f = outs_f.at[dest].set(
                     jnp.where(sel[:, None], sign * tbl.force, 0.0),
                     mode="drop")
+                # torque-only force (rolling resistance): applies at the
+                # contact point like the normal force does
+                outs_t = outs_t.at[dest].set(
+                    jnp.where(sel[:, None], sign * tbl.torque, 0.0),
+                    mode="drop")
                 total = total + (csum[-1] if sel.size else 0)
-        return outs_p[:cap_out], outs_f[:cap_out], total
+        return outs_p[:cap_out], outs_f[:cap_out], outs_t[:cap_out], total
 
     @staticmethod
     @partial(jax.jit, static_argnums=(2,))
@@ -2431,12 +2600,13 @@ class DEMSolver:
                 total = total + (csum[-1] if sel.size else 0)
         return outs[:cap_out], total
 
-    def _contact_forces_for_owner(self, owner_id: int):
+    def _contact_forces_for_owner(self, owner_id: int,
+                                  with_torque: bool = False):
         self._fill_contact_fields()
         cap = self._CFQ_CAP
         oid = jnp.asarray(owner_id, jnp.int32)
         while True:
-            pts, fs, total = self._cfq_filter(self.state, oid, cap)
+            pts, fs, ts, total = self._cfq_filter(self.state, oid, cap)
             owna, _ = self._cfq_owner_a(self.state, oid, cap)
             n = int(total)
             if n <= cap:
@@ -2444,6 +2614,7 @@ class DEMSolver:
             cap = int(1.5 * n) + 64
         pts = np.asarray(pts[:n], np.float64)
         fs = np.asarray(fs[:n], np.float64)
+        ts = np.asarray(ts[:n], np.float64)
         owna = owna[:n]
         # gather ONLY the selected owners' positions on device: a full
         # GetOwnerPosition() here was an O(N) device->host transfer per
@@ -2454,6 +2625,8 @@ class DEMSolver:
             np.asarray(st.vox[idx]), np.asarray(st.loc[idx]),
             self._voxel_size,
         ) + self._lbf
+        if with_torque:
+            return pts + opos, fs, ts
         return pts + opos, fs
 
     # ------------------------------------------------------------------

@@ -316,6 +316,52 @@ def test_round3b_api_stragglers(tmp_path):
     assert np.allclose(d[""], [[1, 2, 3], [4, 5, 6]])
 
 
+def test_tracker_plural_and_torque_queries():
+    """Tracker Get*/plural surface + contact torque queries (reference
+    AuxClasses.h:93-420)."""
+    s = dem.DEMSolver()
+    s.SetVerbosity("QUIET")
+    s.InstructBoxDomainDimension(2, 2, 2)
+    mat = s.LoadMaterial({"E": 1e8, "nu": 0.3, "CoR": 0.5, "mu": 0.3,
+                          "Crr": 0.0})
+    tmpl = s.LoadSphereType(0.001, 0.02, mat)
+    b = s.AddClumps(tmpl, np.asarray([[-0.019, 0, 0], [0.019, 0, 0]]))
+    trk = s.Track(b)
+    s.SetInitTimeStep(1e-5)
+    s.SetGravitationalAcceleration([0, 0, 0])
+    s.Initialize()
+    s.DoDynamics(3e-5)  # overlapping pair -> real contact forces
+    assert trk.Positions().shape == (2, 3)
+    assert trk.Velocities().shape == (2, 3)
+    assert trk.AngularVelocitiesGlobal().shape == (2, 3)
+    assert trk.OrientationQuaternions().shape == (2, 4)
+    assert len(trk.Masses()) == 2 and len(trk.GetFamilies()) == 2
+    assert trk.MOIs().shape == (2, 3)
+    assert trk.GetOwnerIDs() == [0, 1]
+    np.testing.assert_allclose(trk.GetPos(1), trk.Pos(1))
+    np.testing.assert_allclose(trk.GetAngVelGlobal(0),
+                               trk.AngVelLocal(0), atol=1e-12)
+    pts, fs, tq = trk.GetContactForcesAndGlobalTorque(0)
+    assert pts.shape[0] >= 1  # touching pair
+    # force on owner 0 points away from owner 1 (-x)
+    assert fs.sum(axis=0)[0] < 0
+    # central contact: no torque about the CoM
+    assert np.linalg.norm(tq) < 1e-10
+    _, _, tq_l = trk.GetContactForcesAndLocalTorque(0)
+    assert np.linalg.norm(tq_l) < 1e-10
+    p_all, f_all, tqs = trk.GetContactForcesAndGlobalTorqueForAll()
+    assert tqs.shape == (2, 3)
+    # equal and opposite between the two owners
+    np.testing.assert_allclose(
+        f_all.sum(axis=0), np.zeros(3), atol=1e-6)
+    assert trk.GetContactClumps(0).tolist() == [1]
+    # wildcard plumbing (geometry wildcards of the tracked spheres;
+    # SetGeometryWildcardValue creates the array on demand post-init)
+    trk.SetGeometryWildcardValues("g", [1.5, 2.5])
+    got = trk.GetGeometryWildcardValues("g")
+    assert np.allclose(got, [1.5, 2.5])
+
+
 def test_clump_template_csv_and_data_file(tmp_path, monkeypatch):
     """LoadClumpType filename overload (reference API.h:322) +
     GetDEMEDataFile resolution through DEME_DATA_DIR."""
