@@ -257,6 +257,23 @@ class DEMExternObj:
         )
         return self
 
+    def AddPlate(self, pos, normal, xdim=0.0, ydim=0.0, material=None):
+        """Source compat (reference BdrsAndObjs.h:163): the reference's
+        finite-plate analytical type generates NO contacts — its narrow
+        phase returns NOT_A_CONTACT (DEMHelperKernels.cuh:491). Matching
+        behavior here: the component is recorded but inert. Use an
+        AddWavefrontMeshObject two-triangle plate for a real finite
+        plate, or AddPlane for an infinite one."""
+        import warnings
+
+        warnings.warn(
+            "AddPlate generates no contacts (reference parity: plate's "
+            "narrow phase is unimplemented, DEMHelperKernels.cuh:491); "
+            "use a mesh plate or AddPlane instead.",
+            stacklevel=2,
+        )
+        return self
+
 
 @dataclasses.dataclass(eq=False)
 class DEMMeshConnected:
@@ -332,3 +349,60 @@ class DEMMeshConnected:
 
     def GetTriangles(self):
         return np.asarray(self.vertices)[np.asarray(self.faces)]
+
+    def UseNormals(self, use: bool = True):
+        """Honor the source file's vertex normals in mesh output
+        (reference BdrsAndObjs.h:348); facet normals are recomputed from
+        winding otherwise."""
+        self.use_mesh_normals = bool(use)
+        return self
+
+    def Clear(self):
+        """Drop the mesh's geometry (reference BdrsAndObjs.h:357)."""
+        self.vertices = np.zeros((0, 3))
+        self.faces = np.zeros((0, 3), np.int64)
+        self.face_materials = None
+
+    def ComputeMassProperties(self, density: float = 1.0):
+        """(mass, com, principal-frame-free inertia diag-equivalent) of
+        the CLOSED mesh at the given density, by signed-tetrahedron
+        integrals about the origin (reference BdrsAndObjs.h:394; the
+        classic explicit tetrahedron inertia formula). Returns
+        (mass, com (3,), inertia tensor (3,3) about the com)."""
+        v = np.asarray(self.vertices, np.float64)
+        tri = v[np.asarray(self.faces)]
+        a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+        d6 = np.einsum("ij,ij->i", a, np.cross(b, c))  # 6 * signed vol
+        vol = d6.sum() / 6.0
+        if abs(vol) < 1e-30:
+            return 0.0, np.zeros(3), np.zeros((3, 3))
+        com = (d6[:, None] * (a + b + c)).sum(0) / (24.0 * vol)
+        s = a + b + c
+        # ∫ x xᵀ over tet(0,a,b,c) = V/20 (a aᵀ + b bᵀ + c cᵀ + s sᵀ)
+        S = np.einsum("i,ijk->jk", d6 / 120.0,
+                      (np.einsum("ij,ik->ijk", a, a)
+                       + np.einsum("ij,ik->ijk", b, b)
+                       + np.einsum("ij,ik->ijk", c, c)
+                       + np.einsum("ij,ik->ijk", s, s)))
+        inertia_o = np.trace(S) * np.eye(3) - S
+        m = density * vol
+        inertia_o *= density
+        # parallel-axis shift to the COM
+        r = com
+        inertia_com = inertia_o - m * (
+            (r @ r) * np.eye(3) - np.outer(r, r))
+        return m, com, inertia_com
+
+    @staticmethod
+    def WriteWavefront(filename, meshes):
+        """Write meshes into one OBJ file (reference BdrsAndObjs.h:335)."""
+        from .utils import io as _io
+
+        verts, faces, off = [], [], 0
+        for m in meshes:
+            v = np.asarray(m.vertices, np.float64)
+            verts.append(v)
+            faces.append(np.asarray(m.faces) + off)
+            off += v.shape[0]
+        _io.write_mesh_obj(filename, np.concatenate(verts),
+                           np.concatenate(faces))

@@ -316,6 +316,32 @@ def test_round3b_api_stragglers(tmp_path):
     assert np.allclose(d[""], [[1, 2, 3], [4, 5, 6]])
 
 
+def test_mesh_mass_properties_and_wavefront(tmp_path):
+    """ComputeMassProperties on a unit cube: vol 1, com center, inertia
+    m/6 on the diagonal (reference BdrsAndObjs.h:394)."""
+    v = np.array([[x, y, z] for z in (0, 1) for y in (0, 1)
+                  for x in (0, 1)], np.float64)
+    # 12 outward-wound triangles of the unit cube
+    f = np.array([
+        [0, 2, 1], [1, 2, 3],      # z=0 (normal -z)
+        [4, 5, 6], [5, 7, 6],      # z=1 (+z)
+        [0, 1, 4], [1, 5, 4],      # y=0 (-y)
+        [2, 6, 3], [3, 6, 7],      # y=1 (+y)
+        [0, 4, 2], [2, 4, 6],      # x=0 (-x)
+        [1, 3, 5], [3, 7, 5],      # x=1 (+x)
+    ])
+    mesh = dem.DEMMeshConnected(vertices=v, faces=f)
+    m, com, inertia = mesh.ComputeMassProperties(density=2.0)
+    assert abs(m - 2.0) < 1e-12
+    np.testing.assert_allclose(com, [0.5, 0.5, 0.5], atol=1e-12)
+    np.testing.assert_allclose(inertia, np.eye(3) * (2.0 / 6.0),
+                               atol=1e-12)
+    p = tmp_path / "two.obj"
+    dem.DEMMeshConnected.WriteWavefront(str(p), [mesh, mesh])
+    txt = p.read_text()
+    assert txt.count("\nf ") + txt.startswith("f ") == 24  # 2x12 faces
+
+
 def test_tracker_plural_and_torque_queries():
     """Tracker Get*/plural surface + contact torque queries (reference
     AuxClasses.h:93-420)."""
