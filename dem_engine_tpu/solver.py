@@ -722,10 +722,11 @@ class Engine:
                 changes["max_tri_span"] = min(cfg.max_tri_span * 2, 16)
         if ovf & OVF_UNIQ:
             # per-block unique-other list overflowed: double its capacity;
-            # past 4096 the expansion matmul costs more than the gather it
-            # replaces — revert to the direct per-contact gather
+            # past 2048 the (UB, ch) one-hot expansion build costs more
+            # than the gather it replaces (and its bf16 operand nears the
+            # VMEM budget) — revert to the direct per-contact gather
             changes["uniq_cap"] = (cfg.uniq_cap * 2
-                                   if cfg.uniq_cap < 4096 else 0)
+                                   if cfg.uniq_cap < 2048 else 0)
         self.cfg = dataclasses.replace(cfg, **changes)
         self._build()
         ss = state.ss.grown(self.cfg.cap_ss)
