@@ -719,7 +719,7 @@ class DEMSolver:
         reconstructs per-contact kinematics with a one-hot MXU matmul
         (cuts the step's dominant gather by the contact multiplicity).
         `cap` bounds each block's unique list; it auto-grows on overflow
-        and reverts to the direct gather past 4096. Call before
+        and reverts to the direct gather past 2048. Call before
         Initialize; 0 disables. TPU-only (ignored on CPU)."""
         self._uniq_cap = int(cap)
 
@@ -985,8 +985,14 @@ class DEMSolver:
         if isinstance(path_or_mesh, DEMMeshConnected):
             mesh = path_or_mesh
         else:
-            verts, faces = load_obj(path_or_mesh)
-            mesh = DEMMeshConnected(vertices=verts, faces=faces)
+            if load_normals:
+                verts, faces, nrm = load_obj(path_or_mesh,
+                                             with_normals=True)
+            else:
+                verts, faces = load_obj(path_or_mesh)
+                nrm = None
+            mesh = DEMMeshConnected(vertices=verts, faces=faces,
+                                    face_normals=nrm)
         if material is not None:
             mesh.material = material
         self._meshes.append(mesh)
@@ -1902,7 +1908,8 @@ class DEMSolver:
         table = ContactTable.empty(
             cap, cfg.force_model.contact_wildcards,
             premix_names(cfg.force_model),
-            fused=cfg.force_model.fused_variant is not None,
+            fused=(cfg.use_fused_force
+                   and cfg.force_model.fused_variant is not None),
             slim=cfg.use_fused_force,
             uniq_rows=old_ss.uniq_a.shape[0],
         )
@@ -2826,7 +2833,7 @@ class DEMSolver:
         self.engine._build()
 
     def WriteMeshFile(self, path):
-        verts, faces = [], []
+        verts, faces, nrms = [], [], []
         off = 0
         for mesh in self._meshes:
             o = mesh.owner_id
@@ -2843,16 +2850,24 @@ class DEMSolver:
                 )
             )
             verts.append(vw)
-            faces.append(np.asarray(mesh.faces) + off)
+            f_local = np.asarray(mesh.faces)
+            faces.append(f_local + off)
+            if mesh.use_mesh_normals and mesh.face_normals is not None:
+                # source vn, rotated to world (UseNormals)
+                nrms.append(np.asarray(quat_ops.rotate(
+                    jnp.asarray(q, F),
+                    jnp.asarray(mesh.face_normals, F))))
+            else:
+                e1 = vw[f_local[:, 1]] - vw[f_local[:, 0]]
+                e2 = vw[f_local[:, 2]] - vw[f_local[:, 0]]
+                n = np.cross(e1, e2)
+                nrms.append(n / np.maximum(
+                    np.linalg.norm(n, axis=1, keepdims=True), 1e-30))
             off += len(v)
         if verts:
             v = np.concatenate(verts)
             f = np.concatenate(faces)
-            e1 = v[f[:, 1]] - v[f[:, 0]]
-            e2 = v[f[:, 2]] - v[f[:, 0]]
-            nrm = np.cross(e1, e2)
-            nrm /= np.maximum(
-                np.linalg.norm(nrm, axis=1, keepdims=True), 1e-30)
+            nrm = np.concatenate(nrms)
             if self._mesh_out_format == "obj":
                 io_utils.write_mesh_obj(path, v, f, normals=nrm)
             else:

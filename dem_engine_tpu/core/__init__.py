@@ -89,6 +89,8 @@ def _load():
         lib.demn_obj_shape.restype = ctypes.c_int
         lib.demn_obj_read.argtypes = [c_char_p, pd, pi, c_i64, c_i64]
         lib.demn_obj_read.restype = ctypes.c_int
+        lib.demn_obj_read_normals.argtypes = [c_char_p, pd, c_i64]
+        lib.demn_obj_read_normals.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -139,8 +141,10 @@ def pd_sample(lo, hi, r, seed=0, k_tries=30, max_n=2_000_000):
     return out[:n].copy()
 
 
-def load_obj(path: str):
-    """Native OBJ load -> (verts f64 (V,3), tris i32 (T,3)) or None."""
+def load_obj(path: str, with_normals: bool = False):
+    """Native OBJ load -> (verts f64 (V,3), tris i32 (T,3)) or, with
+    `with_normals`, (verts, tris, facet_normals (T,3) or None). Returns
+    None when the native library is unavailable or the parse fails."""
     lib = _load()
     if lib is None:
         return None
@@ -152,4 +156,10 @@ def load_obj(path: str):
     tris = np.empty((nt.value, 3), np.int32)
     if lib.demn_obj_read(path.encode(), verts, tris, nv.value, nt.value):
         return None
-    return verts, tris
+    if not with_normals:
+        return verts, tris
+    nrm = np.empty((nt.value, 3), np.float64)
+    rc = lib.demn_obj_read_normals(path.encode(), nrm, nt.value)
+    if rc == 1:
+        return None
+    return verts, tris, (nrm if rc == 0 else None)

@@ -263,4 +263,76 @@ int demn_obj_read(const char* path, double* verts, int32_t* tris,
     return 0;
 }
 
+// Facet normals from the source's `vn` records (parity:
+// WavefrontMeshLoader.hpp normal handling). Fills nrm (n_tris, 3) with the
+// normalized mean of each triangle's corner vn entries. Returns 0 when
+// every face corner carried a vn index, 2 when the file declares no (or
+// incomplete) normals (nrm is untouched), 1 on IO error.
+int demn_obj_read_normals(const char* path, double* nrm, int64_t n_tris) {
+    FILE* f = fopen(path, "r");
+    if (!f) return 1;
+    char line[1 << 14];
+    std::vector<double> vns;
+    std::vector<int64_t> face_vn;  // 3 per emitted triangle
+    int missing = 0;
+    while (fgets(line, sizeof line, f)) {
+        if (line[0] == 'v' && line[1] == 'n' && line[2] == ' ') {
+            double x = 0, y = 0, z = 0;
+            sscanf(line + 3, "%lf %lf %lf", &x, &y, &z);
+            vns.push_back(x);
+            vns.push_back(y);
+            vns.push_back(z);
+        } else if (line[0] == 'f' && line[1] == ' ') {
+            int64_t nid[64];
+            int cnt = 0;
+            char* p = line + 1;
+            while (*p && cnt < 64) {
+                while (*p == ' ') p++;
+                if (!*p || *p == '\n' || *p == '\r') break;
+                strtol(p, &p, 10);          // vertex index (unused here)
+                int64_t n = INT64_MIN;
+                if (*p == '/') {
+                    p++;                     // vt or empty
+                    if (*p != '/') strtol(p, &p, 10);
+                    if (*p == '/') {
+                        p++;
+                        long v = strtol(p, &p, 10);
+                        n = v > 0 ? v - 1
+                                  : (int64_t)(vns.size() / 3) + v;
+                    }
+                }
+                nid[cnt++] = n;
+                while (*p && *p != ' ' && *p != '\n' && *p != '\r') p++;
+            }
+            for (int k = 1; k + 1 < cnt; k++) {
+                if (nid[0] == INT64_MIN || nid[k] == INT64_MIN ||
+                    nid[k + 1] == INT64_MIN) missing = 1;
+                face_vn.push_back(nid[0]);
+                face_vn.push_back(nid[k]);
+                face_vn.push_back(nid[k + 1]);
+            }
+        }
+    }
+    fclose(f);
+    if (vns.empty() || missing ||
+        (int64_t)(face_vn.size() / 3) != n_tris) return 2;
+    int64_t nn = (int64_t)(vns.size() / 3);
+    for (int64_t t = 0; t < n_tris; t++) {
+        double m[3] = {0, 0, 0};
+        for (int c = 0; c < 3; c++) {
+            int64_t j = face_vn[3 * t + c];
+            if (j < 0 || j >= nn) return 2;
+            m[0] += vns[3 * j];
+            m[1] += vns[3 * j + 1];
+            m[2] += vns[3 * j + 2];
+        }
+        double len = sqrt(m[0] * m[0] + m[1] * m[1] + m[2] * m[2]);
+        if (len < 1e-30) len = 1.0;
+        nrm[3 * t] = m[0] / len;
+        nrm[3 * t + 1] = m[1] / len;
+        nrm[3 * t + 2] = m[2] / len;
+    }
+    return 0;
+}
+
 }  // extern "C"

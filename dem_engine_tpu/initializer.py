@@ -134,7 +134,8 @@ def make_state(owners: Owners, spheres: Spheres, cfg: SolverConfig,
     from .ops.forces import premix_names
 
     pn = premix_names(cfg.force_model)
-    fused = cfg.force_model.fused_variant is not None
+    fused = (cfg.use_fused_force
+             and cfg.force_model.fused_variant is not None)
     uniq_rows = 0
     if cfg.uniq_cap and fused:
         from .ops.pallas_force import OB

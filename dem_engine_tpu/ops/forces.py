@@ -178,8 +178,12 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
     cap = table.cap
     n_owners = owners.n
     src_b = {"ss": spheres, "st": tris, "sa": anals}[kind]
-    fused = kind == "ss" and model.fused_variant is not None and cap > 0
-    slim = slim and fused
+    # fused layouts are built only when the fused pass will actually read
+    # them (cfg.use_fused_force rides in as `slim`): on the XLA path they
+    # are ~2 extra row-gathers + 144 B/contact of dead state per refresh
+    fused = (kind == "ss" and model.fused_variant is not None and cap > 0
+             and slim)
+    slim = fused
 
     live0 = table.idA >= 0
     jA = jnp.where(live0, table.idA, 0)

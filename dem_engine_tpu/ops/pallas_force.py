@@ -300,11 +300,13 @@ def _hertz_rows_real(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
         rec = jnp.concatenate(
             [force, jnp.where(live, tq_a, 0.0), zero, zero], axis=0)
     if extras:
-        lv = in_contact & live
+        # cpoint rides for every LIVE row (margin pairs included) to
+        # match the XLA contact_pass / reference generateContactInfo;
+        # force/torque are already masked by in_contact & live above
         ext = jnp.concatenate(
             [force,
-             jnp.where(lv, torque_only, 0.0),
-             jnp.where(lv, cp, 0.0)]
+             torque_only,
+             jnp.where(live, cp, 0.0)]
             + [zero] * 7,
             axis=0,
         )
@@ -340,6 +342,7 @@ def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False,
         wcob_s = next(it) if with_friction else None
         wcrb_s = next(it) if with_friction else None
         ext_s = next(it) if extras else None
+        exrb_s = next(it) if extras else None
         sems = next(it)
 
         i = pl.program_id(0)
@@ -432,6 +435,17 @@ def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False,
                         sems.at[0, 5])
                     rb.start()
                     rb.wait()
+            if extras:
+                # extras needs the same shared-boundary merge: the
+                # previous block already wrote this chunk (zeros for OUR
+                # rows), and we must not zero ITS rows back
+                @pl.when(merge)
+                def _():
+                    rb = pltpu.make_async_copy(
+                        ext_hbm.at[:, pl.ds(off, ch)], exrb_s,
+                        sems.at[1, 5])
+                    rb.start()
+                    rb.wait()
 
             for cp in in_cps(k, slot):
                 cp.wait()
@@ -498,11 +512,11 @@ def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False,
             # block's values (they are his), rows after cend get fixed by
             # the next block's merge. Writes are double-buffered too:
             # before reusing a slot, wait its k-2 write out.
-            if with_friction:
+            if with_friction or extras:
                 rowid = off + jax.lax.broadcasted_iota(
                     jnp.int32, (1, ch), 1)
                 mine = rowid >= cstart
-
+            if with_friction:
                 @pl.when(k >= 2)
                 def _():
                     _wc_write(k - 2).wait()
@@ -510,7 +524,8 @@ def _make_kernel(ch, ob, voxel_size, with_friction, side_b, extras=False,
                 wcob_s[slot] = jnp.where(mine, wc_new, wcrb_s[...])
                 _wc_write(k).start()
             if extras:
-                ext_s[...] = jnp.where(inblk, out[3], 0.0)
+                ext_s[...] = jnp.where(
+                    mine, jnp.where(inblk, out[3], 0.0), exrb_s[...])
                 wcp = pltpu.make_async_copy(
                     ext_s, ext_hbm.at[:, pl.ds(off, ch)], sems.at[0, 4])
                 wcp.start()
@@ -611,6 +626,7 @@ def fused_hertz_pass(fstat, wcT, krecT, otT, cr, n_blocks, h,
         scratch.append(pltpu.VMEM((4, ch), jnp.float32))      # wc readback
     if extras:
         scratch.append(pltpu.VMEM((16, ch), jnp.float32))     # extras buffer
+        scratch.append(pltpu.VMEM((16, ch), jnp.float32))     # extras readback
     scratch.append(pltpu.SemaphoreType.DMA((2, 6)))
 
     out = pl.pallas_call(
@@ -749,15 +765,18 @@ def fused_step_ss(table, owners, params, voxel_size, model, krec,
         for k, name in enumerate(wc_names):
             new_wc[name] = jnp.where(live, wcA_out[k, :cap], 0.0)
         live_b = table.own_b_sorted < n_owners
-        wcb4 = jnp.where(live_b[None, :], wcB_out[:, :cap], 0.0)
-        wcb = jnp.concatenate(
-            [wcb4, jnp.zeros((table.wcb.shape[0] - 4, cap), F)], axis=0)
+        wcb = jnp.where(live_b[None, :], wcB_out[:, :cap], 0.0)
+        if table.wcb.shape[0] > 4:
+            wcb = jnp.concatenate(
+                [wcb, jnp.zeros((table.wcb.shape[0] - 4, cap), F)], axis=0)
     new_table = table.replace(wildcards=new_wc, wcb=wcb)
     if extras:
-        ext = outA[2]
+        # dead tail rows past the last owner block's range are never
+        # written by the kernel (fresh HBM) — mask them out
+        ext = jnp.where(live[None, :], outA[2][:, :cap], 0.0)
         new_table = new_table.replace(
-            force=ext[0:3, :cap].T,
-            torque=ext[3:6, :cap].T,
-            cpoint=ext[6:9, :cap].T,
+            force=ext[0:3, :].T,
+            torque=ext[3:6, :].T,
+            cpoint=ext[6:9, :].T,
         )
     return f_acc, t_acc, new_table

@@ -181,29 +181,6 @@ def seg_sum_sorted_blocks(rec6, ids_sorted, n_owners, interpret=None,
     return out[:6, :n_owners].T
 
 
-def would_spill(ids_sorted, n_owners, tile=None, owin=None):
-    """Exact XLA mirror of the kernel's spill predicate, evaluated at
-    refresh time: True iff some input tile spans more owners than the
-    one-hot window can hold, i.e. seg_sum_sorted on these ids would return
-    an invalid result. The engine checks this BEFORE stepping (the step
-    programs donate their inputs, so a post-hoc spill cannot be rewound)
-    and falls back to the XLA segment sums via OVF_SEGRED."""
-    tile = tile or TILE
-    owin = owin or OWIN
-    cap = ids_sorted.shape[0]
-    pad = (-cap) % tile
-    ids = jnp.minimum(ids_sorted, n_owners)
-    if pad:
-        ids = jnp.concatenate([ids, jnp.full((pad,), n_owners, I)])
-    n_pad = ((n_owners + 1 + owin + 127) // 128) * 128
-    idt = ids.reshape(-1, tile)
-    live = idt < n_owners
-    b0 = jnp.min(jnp.where(live, idt, n_owners), axis=1)
-    b0 = jnp.minimum((b0 // 128) * 128, n_pad - owin)
-    rel = idt - b0[:, None]
-    return jnp.any(live & (rel >= owin))
-
-
 def seg_sum_sorted(rec6, ids_sorted, n_owners, interpret=False,
                    tile=None, owin=None):
     """rec6: (cap, 6) f32; ids_sorted: (cap,) i32 ascending, dead rows

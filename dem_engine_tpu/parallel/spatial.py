@@ -161,6 +161,11 @@ def find_pairs_ss_spatial(pos, reach, owner, family, family_mask, bin_size,
         slab_w = dom[0] / n_dev
         hw = 2.0 * bs  # halo: candidate cells span row_bin +- 1
         px = pos_l[:, 0]
+        # clamp into the domain for bucket membership: escaped spheres
+        # (|px| beyond the halo) must still be resident SOMEWHERE — the
+        # global sweep clips them into edge bins (binning.bin_index_3d),
+        # so route them to the edge slabs to keep pair-set equality
+        px = jnp.clip(px, 0.0, dom[0])
         rows = jnp.concatenate(
             [
                 pos_l,

@@ -176,7 +176,12 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         large = ~small
         reach_s = jnp.max(jnp.where(small, reach, 0.0))
         reach_l = jnp.max(jnp.where(large, reach, 0.0))
-        bs_l, nb_l = binning.build_grid(params.domain, reach_l)
+        # the coarse cell must cover BOTH the L-L pair distance
+        # (2*reach_l) and the worst cross distance (reach_s + reach_l):
+        # margins (velocity / family extra) can push a small sphere's
+        # REACH above reach_l even though its radius is under cls_thr
+        bs_l, nb_l = binning.build_grid(
+            params.domain, jnp.maximum(reach_l, 0.5 * (reach_s + reach_l)))
         # bound the candidate slab (chunk x offsets x mpb x 7 f32) to
         # ~100 MB regardless of the configured chunk
         xl_chunk = max(256, (1 << 22) // (27 * cfg.max_per_bin))

@@ -150,7 +150,8 @@ STATIC_W = 32
 FSTAT_W = 16
 
 # field-major wildcard rows carried for the fused pass's B-sorted layout
-WCB_W = 8
+WCB_W = 4  # the fused pass exists only for the built-in Hertz models,
+           # whose largest wildcard set is delta_tan xyz + delta_time
 
 
 @pytree_dataclass
@@ -310,7 +311,10 @@ class ContactTable:
         Shrink-slicing fstat_b/wcb columns is valid for the same reason the
         perm_b head slice is: dead rows sort to the END of the perm order,
         so live columns survive any shrink that keeps `count` columns."""
-        if m.shape[0] == 0:
+        if m.shape[0] == 0 or m.shape[1] != self.cap:
+            # unused-layout placeholder ((W, 0) on a cap>0 table when the
+            # fused/slim layouts are off): keep it empty instead of
+            # inflating it to full width on grow
             return m
         cap = m.shape[1]
         if new_cap <= cap:

@@ -295,6 +295,8 @@ class DEMMeshConnected:
     name: Optional[str] = None
     owner_id: Optional[int] = None
     tri_offset: Optional[int] = None     # first triangle index at Initialize
+    face_normals: Optional[np.ndarray] = None  # (T,3) body frame, from vn
+    use_mesh_normals: bool = False       # honor source normals in output
 
     @property
     def n_tri(self) -> int:
@@ -352,8 +354,9 @@ class DEMMeshConnected:
 
     def UseNormals(self, use: bool = True):
         """Honor the source file's vertex normals in mesh output
-        (reference BdrsAndObjs.h:348); facet normals are recomputed from
-        winding otherwise."""
+        (reference BdrsAndObjs.h:348; needs the OBJ to declare vn and the
+        mesh to be loaded with load_normals); facet normals are
+        recomputed from winding otherwise."""
         self.use_mesh_normals = bool(use)
         return self
 

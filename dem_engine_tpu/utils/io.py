@@ -69,9 +69,12 @@ def write_table(path, columns: Dict[str, np.ndarray], fmt="csv"):
     same column names; load with np.load)."""
     fmt = getattr(fmt, "value", fmt)
     if str(fmt).lower() in ("binary", "chpf", "npz"):
-        np.savez_compressed(
-            path, **{k: np.asarray(v) for k, v in columns.items()}
-        )
+        # write through a handle: np.savez_compressed APPENDS '.npz' to a
+        # bare path, which would create a different filename than asked
+        with open(path, "wb") as f:
+            np.savez_compressed(
+                f, **{k: np.asarray(v) for k, v in columns.items()}
+            )
         return
     write_csv(path, columns)
 

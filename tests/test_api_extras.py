@@ -316,6 +316,45 @@ def test_round3b_api_stragglers(tmp_path):
     assert np.allclose(d[""], [[1, 2, 3], [4, 5, 6]])
 
 
+def test_obj_vn_normals_honored(tmp_path):
+    """UseNormals: OBJ vn entries ride through to mesh output instead of
+    winding-derived facet normals (reference BdrsAndObjs.h:348)."""
+    p = tmp_path / "tri.obj"
+    # one triangle in the xy plane whose vn deliberately points +x
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "vn 1 0 0\nvn 1 0 0\nvn 1 0 0\n"
+        "f 1//1 2//2 3//3\n")
+    s = dem.DEMSolver()
+    s.SetVerbosity("QUIET")
+    s.InstructBoxDomainDimension(4, 4, 4)
+    mat = s.LoadMaterial({"E": 1e8, "nu": 0.3, "CoR": 0.5, "mu": 0.3,
+                          "Crr": 0.0})
+    tmpl = s.LoadSphereType(0.001, 0.01, mat)
+    s.AddClumps(tmpl, np.asarray([[1.0, 1.0, 1.0]]))
+    mesh = s.AddWavefrontMeshObject(str(p), mat)
+    mesh.SetFamily(255)
+    mesh.UseNormals()
+    s.SetInitTimeStep(1e-5)
+    s.SetGravitationalAcceleration([0, 0, 0])
+    s.Initialize()
+    s.SetMeshOutputFormat("obj")
+    out = tmp_path / "out.obj"
+    s.WriteMeshFile(str(out))
+    txt = out.read_text()
+    vn_lines = [ln for ln in txt.splitlines() if ln.startswith("vn ")]
+    assert vn_lines, "no normals written"
+    vec = np.asarray([float(x) for x in vn_lines[0].split()[1:4]])
+    np.testing.assert_allclose(vec, [1, 0, 0], atol=1e-6)
+    # without UseNormals the winding normal (+z) is written
+    mesh.UseNormals(False)
+    s.WriteMeshFile(str(out))
+    vn0 = [ln for ln in out.read_text().splitlines()
+           if ln.startswith("vn ")][0]
+    vec0 = np.asarray([float(x) for x in vn0.split()[1:4]])
+    np.testing.assert_allclose(vec0, [0, 0, 1], atol=1e-6)
+
+
 def test_mesh_mass_properties_and_wavefront(tmp_path):
     """ComputeMassProperties on a unit cube: vol 1, com center, inertia
     m/6 on the diagonal (reference BdrsAndObjs.h:394)."""
@@ -455,6 +494,12 @@ def test_output_formats_roundtrip(tmp_path):
     assert len(d["x"]) == 4
     d2 = np.load(p2)
     assert {"A", "B", "contact_type"} <= set(d2.files)
+    # the file lands at EXACTLY the requested path, whatever the suffix
+    # (regression: bare np.savez_compressed appends '.npz')
+    p2b = str(tmp_path / "frame_0001.bin")
+    s.WriteClumpFile(p2b)
+    assert os.path.exists(p2b) and not os.path.exists(p2b + ".npz")
+    assert len(np.load(p2b)["x"]) == 4
     # csv still works after switching back
     s.SetOutputFormat("csv")
     p3 = str(tmp_path / "clumps.csv")
@@ -489,3 +534,22 @@ def test_mesh_output_normals_and_obj(tmp_path):
     s.WriteMeshFile(po)
     t2 = open(po).read()
     assert t2.startswith("v ") and "vn " in t2 and "f " in t2
+
+
+def test_resize_keeps_unused_layout_placeholders_empty():
+    """Growing a non-fused table must NOT inflate its (W, 0) fused-layout
+    placeholders to full width (regression: _cols guarded the wrong
+    axis, so every ST/SA/custom-model grow carried ~144 B/contact of
+    dead fstat/wcb columns)."""
+    from dem_engine_tpu.state import ContactTable
+
+    t = ContactTable.empty(128, ("delta_tan_x",), ("E:a",), fused=False)
+    g = t.grown(256)
+    assert g.fstat_a.shape[1] == 0
+    assert g.fstat_b.shape[1] == 0
+    assert g.wcb.shape[1] == 0
+    # genuine fused layouts still resize both ways
+    t2 = ContactTable.empty(128, ("delta_tan_x",), ("E:a",),
+                            fused=True, slim=True)
+    assert t2.grown(256).fstat_a.shape[1] == 256
+    assert t2.shrunk(64).wcb.shape[1] == 64

@@ -87,11 +87,12 @@ def _build(n_clumps, model, seed=0, cap_ss=2048):
 
 def _run_both(model, n_clumps=60, steps=3, seed=1):
     state, params, cfg = _build(n_clumps, model, seed=seed)
-    state = refresh_contacts(state, params, cfg)
-    assert int(state.ss.count) > 10, "test needs real contacts"
-
     cfg_fused = dataclasses.replace(cfg, use_fused_force=True)
-    s_x = s_f = state
+    # each leg refreshes under its own cfg: fused layouts only exist on
+    # use_fused_force tables (and those skip the wide XLA statics)
+    s_x = refresh_contacts(state, params, cfg)
+    s_f = refresh_contacts(state, params, cfg_fused)
+    assert int(s_x.ss.count) > 10, "test needs real contacts"
     for _ in range(steps):
         s_x = dynamics_step(s_x, params, cfg)
         s_f = dynamics_step(s_f, params, cfg_fused)
@@ -129,7 +130,8 @@ def test_fused_across_refresh_and_unaligned_cap():
     model = HertzianForceModel()
     state, params, cfg = _build(40, model, seed=3, cap_ss=1000)
     cfg_fused = dataclasses.replace(cfg, use_fused_force=True)
-    s_x = s_f = refresh_contacts(state, params, cfg)
+    s_x = refresh_contacts(state, params, cfg)
+    s_f = refresh_contacts(state, params, cfg_fused)
     for r in range(2):
         for _ in range(2):
             s_x = dynamics_step(s_x, params, cfg)
@@ -155,11 +157,10 @@ def test_fused_matches_xla_ratio3_radii():
             radius=state.spheres.radius * jnp.asarray(scale, F)
         )
     )
-    state = refresh_contacts(state, params, cfg)
-    assert int(state.ss.count) > 30
-
     cfg_fused = dataclasses.replace(cfg, use_fused_force=True)
-    s_x = s_f = state
+    s_x = refresh_contacts(state, params, cfg)
+    s_f = refresh_contacts(state, params, cfg_fused)
+    assert int(s_x.ss.count) > 30
     for _ in range(2):
         s_x = dynamics_step(s_x, params, cfg)
         s_f = dynamics_step(s_f, params, cfg_fused)
@@ -167,3 +168,46 @@ def test_fused_matches_xla_ratio3_radii():
     _close(s_x.owners.omg, s_f.owners.omg, tol=1e-3)
     for k in s_x.ss.wildcards:
         _close(s_x.ss.wildcards[k], s_f.ss.wildcards[k], tol=1e-3)
+
+
+def test_fused_extras_match_xla_across_block_boundaries():
+    """Per-contact extras (force/torque/cpoint) from the extras pass must
+    match the XLA contact_pass for EVERY live row — including rows in
+    512-chunks shared between adjacent 128-owner blocks, which the kernel
+    must merge rather than overwrite (regression: shared-chunk rows of the
+    previous block were zeroed)."""
+    from dem_engine_tpu.ops import forces as _forces
+    from dem_engine_tpu.ops.pallas_force import OB, fused_step_ss
+
+    model = HertzianForceModel()
+    # 300 owners -> 3 owner blocks at OB=128; plenty of unaligned
+    # block boundaries inside shared chunks
+    state, params, cfg = _build(300, model, seed=5, cap_ss=4096)
+    assert state.owners.n > 2 * OB
+    cfg_fused = dataclasses.replace(cfg, use_fused_force=True)
+    s_x = refresh_contacts(state, params, cfg)
+    s_f = refresh_contacts(state, params, cfg_fused)
+    assert int(s_x.ss.count) > 500
+
+    # XLA reference per-contact fields
+    p = _forces.contact_pass(
+        "ss", s_x.ss, s_x.owners, s_x.spheres, s_x.tris,
+        s_x.anals, params, s_x.time, cfg.voxel_size, model,
+        krec=_forces.pack_kinematics(s_x.owners),
+    )
+    t_x = p["table"]
+
+    krec = _forces.pack_kinematics(s_f.owners)
+    _, _, t_f = fused_step_ss(
+        s_f.ss, s_f.owners, params, cfg.voxel_size, model, krec,
+        extras=True,
+    )
+    live = np.asarray(s_x.ss.idA) >= 0
+    assert live.sum() > 500
+    for name in ("force", "torque", "cpoint"):
+        a = np.asarray(getattr(t_x, name))[live]
+        b = np.asarray(getattr(t_f, name))[live]
+        _close(a, b, tol=2e-4)
+    # dead rows must be exactly zero (no uninitialized kernel output)
+    for name in ("force", "torque", "cpoint"):
+        assert np.all(np.asarray(getattr(t_f, name))[~live] == 0.0)

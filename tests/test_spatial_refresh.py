@@ -143,3 +143,32 @@ def test_spatial_end_to_end_matches_global():
     np.testing.assert_allclose(p1, p8, atol=5e-5)
     np.testing.assert_allclose(np.asarray(s1.owners.vel),
                                np.asarray(s8.owners.vel), atol=5e-3)
+
+
+def test_spatial_keeps_escaped_spheres():
+    """Spheres beyond the x domain faces (further than the 2-bin halo)
+    must still be resident on an edge slab and keep their pairs — the
+    global sweep clips them into edge bins (regression: they matched no
+    slab bucket and their contacts silently vanished)."""
+    pos, reach, owner, family, domain = _random_spheres(256, seed=7)
+    pos = np.array(pos, np.float32, copy=True)
+    # park two clusters outside the domain: one far left of x=0 touching
+    # a sphere just inside, one far right of x=domain[0]
+    pos[0] = [-0.3, 0.1, 0.1]        # escaped left
+    pos[1] = [-0.3, 0.1, 0.1 + 0.018]  # its partner, also escaped
+    pos[2] = [float(domain[0]) + 0.25, 0.2, 0.2]   # escaped right
+    pos[3] = [float(domain[0]) + 0.25, 0.2, 0.2 + 0.018]
+    pos = jnp.asarray(pos, F)
+    fam_mask = jnp.ones((256, 256), bool)
+    bs, nb = binning.build_grid(domain, reach.max())
+    cap = 16384
+    a1, b1, *_ = binning.find_pairs_ss(
+        pos, reach, owner, family, fam_mask, bs, nb, cap, 64)
+    mesh = make_mesh(8)
+    a2, b2, *_ = jax.jit(partial(
+        find_pairs_ss_spatial, cap=cap, max_per_bin=64, mesh=mesh,
+        capx=512))(pos, reach, owner, family, fam_mask, bs, nb, domain)
+    s1, s2 = _pairs_set(a1, b1), _pairs_set(a2, b2)
+    assert (0, 1) in s1 or (1, 0) in s1
+    assert (2, 3) in s1 or (3, 2) in s1
+    assert s1 == s2, (len(s1), len(s2), s1 - s2, s2 - s1)

@@ -50,7 +50,9 @@ def _two_class(pos, reach, radius, owner, family, mask, domain, cap,
     large = ~small
     reach_s = jnp.max(jnp.where(small, reach, 0.0))
     reach_l = jnp.max(jnp.where(large, reach, 0.0))
-    bs_l, nb_l = binning.build_grid(domain, reach_l)
+    # mirror solver.refresh_contacts: cell covers reach_s + reach_l too
+    bs_l, nb_l = binning.build_grid(
+        domain, jnp.maximum(reach_l, 0.5 * (reach_s + reach_l)))
     idA, idB, n_ll, occ_l, tab_l = binning.find_pairs_ss(
         pos, reach, owner, family, mask, bs_l, nb_l, cap, 64,
         member=large,
@@ -200,3 +202,25 @@ def test_sweep_reenable_probe():
     state = eng.grow_for(state, OVF_BIN_OCC)
     assert not eng.cfg.use_pallas_sweep
     assert eng._sweep_backoff == 4 * b0
+
+
+def test_twoclass_small_reach_above_large():
+    """Margins (velocity / family extra) can push a SMALL-class sphere's
+    reach above the large class's max reach; the coarse grid must size
+    its cell by reach_s + reach_l, not 2*reach_l, or cross pairs beyond
+    one L-cell are silently missed (regression)."""
+    pos, reach, radius, owner, family = _cloud(seed=11, n=400)
+    # inflate the small class's reach well past the large class's
+    small_np = np.asarray(radius) <= 0.02
+    reach = jnp.where(jnp.asarray(small_np),
+                      jnp.asarray(radius, F) + 0.05, reach)
+    mask = jnp.ones((256, 256), bool)
+    domain = jnp.asarray([1.0, 1.0, 0.3], F)
+    cap = 262144
+    thr = float(np.sqrt(0.01 * 0.03))
+
+    ref, _ = _single_grid(pos, reach, owner, family, mask, domain, cap)
+    got, n_got = _two_class(pos, reach, radius, owner, family, mask,
+                            domain, cap, thr)
+    assert n_got == len(got)
+    assert got == ref

@@ -61,6 +61,9 @@ def build(n_clumps, seed=0):
         cap_ss=cap, cap_st=8, cap_sa=8,
         reduce_mode="segment",
         use_pallas_sweep=True,
+        # fused layouts are only built on use_fused_force refreshes; the
+        # probe/sweep tools read table.fstat_a/fstat_b directly
+        use_fused_force=True,
     )
     params = make_params(
         h=2e-6, gravity=[0, 0, -9.81], domain=[3.0, 3.0, 3.0],
@@ -82,21 +85,24 @@ def main():
     args = ap.parse_args()
 
     print("platform:", jax.devices()[0].platform)
-    state, params, cfg = build(args.n)
-    cfg_fused = dataclasses.replace(cfg, use_fused_force=True)
+    state0, params, cfg_fused = build(args.n)
+    cfg = dataclasses.replace(cfg_fused, use_fused_force=False)
 
     t0 = time.perf_counter()
-    refresh = jax.jit(lambda s, p: refresh_contacts(s, p, cfg))
-    state = refresh(state, params)
+    refresh = jax.jit(lambda s, p: refresh_contacts(s, p, cfg_fused))
+    state = refresh(state0, params)
     n_contacts = int(state.ss.count)
     print(f"refresh: {time.perf_counter()-t0:.1f}s, contacts={n_contacts}")
     assert n_contacts > 0
+    # the XLA leg needs a non-slim (statics-bearing) table
+    state_x = jax.jit(
+        lambda s, p: refresh_contacts(s, p, cfg))(state0, params)
 
     if not args.skip_compare:
         step_x = jax.jit(lambda s, p: dynamics_step(s, p, cfg))
         step_f = jax.jit(lambda s, p: dynamics_step(s, p, cfg_fused))
         t0 = time.perf_counter()
-        sx = step_x(state, params)
+        sx = step_x(state_x, params)
         sx.owners.vel.block_until_ready()
         print(f"xla step compile+run: {time.perf_counter()-t0:.1f}s")
         t0 = time.perf_counter()
@@ -120,10 +126,11 @@ def main():
         print("CORRECTNESS OK")
 
     # in-scan timing, chained state, scalar readback
-    for label, c in (("xla", cfg), ("fused", cfg_fused)):
+    for label, c, st0 in (("xla", cfg, state_x), ("fused", cfg_fused,
+                                                  state)):
         fn = jax.jit(lambda s, p, c=c: run_steps(s, p, c, args.steps))
         t0 = time.perf_counter()
-        s1 = fn(state, params)
+        s1 = fn(st0, params)
         v = float(s1.owners.vel.sum())
         print(f"{label}: compile+first {time.perf_counter()-t0:.1f}s "
               f"(chk {v:.4f})")
