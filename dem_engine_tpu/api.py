@@ -1129,7 +1129,10 @@ class DEMSolver:
 
     def _vec_fn(self, comps):
         def fn(t):
-            vals = [(c(t) if callable(c) else c) or 0.0 for c in comps]
+            # no `or 0.0`: a callable's value is a traced array inside jit
+            # and bool() on it would raise at trace time
+            vals = [(c(t) if callable(c) else (0.0 if c is None else c))
+                    for c in comps]
             return jnp.stack([jnp.asarray(v, F) for v in vals])
         return fn
 
@@ -1153,7 +1156,8 @@ class DEMSolver:
         comps = (x, y, z)
 
         def fn(t):
-            vals = [(c(t) if callable(c) else c) or 0.0 for c in comps]
+            vals = [(c(t) if callable(c) else (0.0 if c is None else c))
+                    for c in comps]
             return jnp.stack(
                 [jnp.asarray(v, F) - lbf[i] for i, v in enumerate(vals)]
             )
@@ -1280,7 +1284,9 @@ class DEMSolver:
 
     def ChangeFamilyWhen(self, from_family: int, to_family: int, condition):
         """condition: (OwnerView, t) -> bool[N], evaluated every step
-        (reference API.h:1021, DEMdemo_GameOfLife)."""
+        (reference API.h:1021, DEMdemo_GameOfLife). NOTE: view.pos is
+        LBF-relative (internal frame); add solver._lbf to user-frame
+        thresholds (see OwnerView docstring)."""
         self._family_changes.append(
             FamilyChange(from_family, to_family, condition)
         )
@@ -1860,7 +1866,7 @@ class DEMSolver:
                       else 0),
         )
         self.state = make_state(owners, spheres, cfg, tris=tris, anals=anals)
-        self._seed_existing_contacts(cfg)
+        cfg = self._seed_existing_contacts(cfg)
         self.engine = Engine(cfg)
         self.engine.auto_freq = getattr(self, "_adaptive_freq", False)
         self.engine.max_freq = getattr(self, "_max_update_freq", None)
@@ -1883,8 +1889,11 @@ class DEMSolver:
     def _seed_existing_contacts(self, cfg):
         """Load restart contacts/wildcards into the initial SS table so the
         first refresh's history map finds them (reference
-        overwritePrevContactArrays path)."""
-        pairs_a, pairs_b, wcs = [], [], {}
+        overwritePrevContactArrays path). Returns the cfg, with cap_ss
+        raised when the seeded contacts exceed it (the engine's
+        grow/shrink protocol requires state cap == cfg.cap_ss)."""
+        pairs_a, pairs_b, segs = [], [], []
+        pos = 0
         for b in self._batches:
             if not b.existing_contacts:
                 continue
@@ -1895,25 +1904,23 @@ class DEMSolver:
             hi = np.maximum(idA, idB)
             pairs_a.append(lo)
             pairs_b.append(hi)
-            for k, v in (b.existing_contact_wildcards or {}).items():
-                wcs.setdefault(k, []).append(np.asarray(v, np.float32))
+            segs.append((pos, len(lo), b.existing_contact_wildcards or {}))
+            pos += len(lo)
         if not pairs_a:
-            return
+            return cfg
         idA = np.concatenate(pairs_a)
         idB = np.concatenate(pairs_b)
         n = len(idA)
-        cap = max(cfg.cap_ss, n)
-        from .ops.forces import premix_names
+        if n > cfg.cap_ss:
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, cap_ss=-(-(int(1.25 * n) + 64) // 512) * 512)
+        cap = cfg.cap_ss
+        from .initializer import empty_ss_table
         old_ss = self.state.ss
-        table = ContactTable.empty(
-            cap, cfg.force_model.contact_wildcards,
-            premix_names(cfg.force_model),
-            fused=(cfg.use_fused_force
-                   and cfg.force_model.fused_variant is not None),
-            slim=cfg.use_fused_force,
-            uniq_rows=old_ss.uniq_a.shape[0],
-        )
-        if old_ss.uniq_a.shape[0]:
+        uniq_rows = old_ss.uniq_a.shape[0]
+        table = empty_ss_table(cfg, cap, uniq_rows=uniq_rows)
+        if uniq_rows:
             table = table.replace(uniq_a=old_ss.uniq_a,
                                   uniq_b=old_ss.uniq_b)
         table = table.replace(
@@ -1921,14 +1928,22 @@ class DEMSolver:
             idB=table.idB.at[:n].set(jnp.asarray(idB, I)),
             count=jnp.asarray(n, I),
         )
+        # wildcards land at each batch's row range (batches may carry
+        # different key sets — a flat concat would misalign them)
         wc = dict(table.wildcards)
-        for k, vs in wcs.items():
-            v = np.concatenate(vs)
-            if k in wc:
-                wc[k] = wc[k].at[:n].set(jnp.asarray(v))
+        for k in list(wc):
+            vals = np.zeros(n, np.float32)
+            found = False
+            for start, cnt, d in segs:
+                if k in d:
+                    vals[start:start + cnt] = np.asarray(d[k], np.float32)
+                    found = True
+            if found:
+                wc[k] = wc[k].at[:n].set(jnp.asarray(vals))
         self.state = self.state.replace(
             ss=table.replace(wildcards=wc)
         )
+        return cfg
 
     def _add_bounding_planes(self):
         mat = getattr(self, "_bounding_bc_mat", None) or (
@@ -2835,28 +2850,34 @@ class DEMSolver:
     def WriteMeshFile(self, path):
         verts, faces, nrms = [], [], []
         off = 0
-        for mesh in self._meshes:
-            o = mesh.owner_id
-            q = np.asarray(self.state.owners.quat[o], np.float64)
+        if not self._meshes:
+            return
+        # ONE small device gather for all mesh owners (per-mesh jnp calls
+        # cost a ~15-22 ms dispatch each on this backend), then pure
+        # host-side numpy rotation
+        ids = jnp.asarray([m.owner_id for m in self._meshes], I)
+        qs = np.asarray(self.state.owners.quat[ids], np.float64)
+        voxs = np.asarray(self.state.owners.vox[ids])
+        locs = np.asarray(self.state.owners.loc[ids])
+
+        def rot(q, v):  # quaternion rotate, numpy (15-multiply form)
+            t = 2.0 * np.cross(q[1:4], v)
+            return v + q[0] * t + np.cross(q[1:4], t)
+
+        for mi, mesh in enumerate(self._meshes):
+            q = qs[mi]
             p = voxel.decode_host(
-                np.asarray(self.state.owners.vox[o]),
-                np.asarray(self.state.owners.loc[o]),
-                self._voxel_size,
+                voxs[mi], locs[mi], self._voxel_size
             ) + self._lbf
             v = np.asarray(mesh.vertices, np.float64)
-            vw = p[None] + np.asarray(
-                quat_ops.rotate(
-                    jnp.asarray(q, F), jnp.asarray(v, F)
-                )
-            )
+            vw = p[None] + rot(q, v)
             verts.append(vw)
             f_local = np.asarray(mesh.faces)
             faces.append(f_local + off)
             if mesh.use_mesh_normals and mesh.face_normals is not None:
                 # source vn, rotated to world (UseNormals)
-                nrms.append(np.asarray(quat_ops.rotate(
-                    jnp.asarray(q, F),
-                    jnp.asarray(mesh.face_normals, F))))
+                nrms.append(rot(q, np.asarray(mesh.face_normals,
+                                              np.float64)))
             else:
                 e1 = vw[f_local[:, 1]] - vw[f_local[:, 0]]
                 e2 = vw[f_local[:, 2]] - vw[f_local[:, 0]]

@@ -127,6 +127,35 @@ def make_analyticals(owner, objtype, relpos, direction, size, normal_sign,
     )
 
 
+def empty_ss_table(cfg: SolverConfig, cap: int,
+                   uniq_rows: int = 0) -> ContactTable:
+    """The ONE owner of the SS-table layout decision (fused/slim/uniq):
+    fused layouts exist exactly when the fused pass will read them.
+    Restart seeding (api._seed_existing_contacts) and make_state both
+    build through here so the layouts can never diverge."""
+    from .ops.forces import premix_names
+
+    return ContactTable.empty(
+        cap, cfg.force_model.contact_wildcards,
+        premix_names(cfg.force_model),
+        fused=(cfg.use_fused_force
+               and cfg.force_model.fused_variant is not None),
+        slim=cfg.use_fused_force,
+        uniq_rows=uniq_rows,
+    )
+
+
+def ss_uniq_rows(cfg: SolverConfig, n_owners: int) -> int:
+    """Rows of the per-block unique-other tables (0 when uniq fetch or
+    the fused pass is off)."""
+    if not (cfg.uniq_cap and cfg.use_fused_force
+            and cfg.force_model.fused_variant is not None):
+        return 0
+    from .ops.pallas_force import OB
+
+    return -(-n_owners // OB) * cfg.uniq_cap
+
+
 def make_state(owners: Owners, spheres: Spheres, cfg: SolverConfig,
                tris: Optional[Triangles] = None,
                anals: Optional[Analyticals] = None) -> SimState:
@@ -134,24 +163,13 @@ def make_state(owners: Owners, spheres: Spheres, cfg: SolverConfig,
     from .ops.forces import premix_names
 
     pn = premix_names(cfg.force_model)
-    fused = (cfg.use_fused_force
-             and cfg.force_model.fused_variant is not None)
-    uniq_rows = 0
-    if cfg.uniq_cap and fused:
-        from .ops.pallas_force import OB
-
-        uniq_rows = -(-owners.n // OB) * cfg.uniq_cap
     return SimState(
         owners=owners,
         spheres=spheres,
         tris=tris if tris is not None else empty_triangles(),
         anals=anals if anals is not None else empty_analyticals(),
-        ss=ContactTable.empty(
-            cfg.cap_ss, wc, pn,
-            fused=fused,
-            slim=cfg.use_fused_force,
-            uniq_rows=uniq_rows,
-        ),
+        ss=empty_ss_table(cfg, cfg.cap_ss,
+                          uniq_rows=ss_uniq_rows(cfg, owners.n)),
         st=ContactTable.empty(cfg.cap_st, wc, pn),
         sa=ContactTable.empty(cfg.cap_sa, wc, pn),
         time=jnp.zeros((), F),

@@ -4,9 +4,9 @@ Parity target: integrateOwners / integrateVelPos
 (DEMIntegrationKernels.cu:100-264) including the three velocity pass-on
 policies (IntegrationVelPassOnForwardEuler/CenteredDiff/ExtendedTaylor.cu):
 
-  forward euler      : position advances with the NEW velocity
-  centered difference: position advances with the midpoint velocity
-  extended taylor    : position advances with the OLD velocity
+  forward euler      : position advances with the OLD velocity
+  centered difference: position advances with the NEW velocity
+  extended taylor    : position advances with the midpoint velocity
 
 and the prescription semantics of applyPrescribedVel/Pos/AddedAcceleration:
 velocity prescriptions dictate components (skipping true physics for them),
@@ -27,7 +27,12 @@ from . import voxel
 
 class OwnerView:
     """Read-only convenience view handed to family-change conditions and
-    inspectors: absolute f32 positions plus raw state arrays."""
+    inspectors: f32 positions plus raw state arrays.
+
+    Frame: `pos` is LBF-RELATIVE (the solver's internal frame, origin at
+    the domain's lower corner), NOT user coordinates — add the solver's
+    `_lbf` offset to user-frame thresholds before comparing (see
+    tests/test_api_balldrop.py for the pattern)."""
 
     def __init__(self, owners: Owners, voxel_size, time):
         self.pos = voxel.decode_f32(owners.vox, owners.loc, voxel_size)
@@ -94,19 +99,23 @@ def integrate_owners(
     v_presc_mask = v_presc_mask | fixed
     o_presc_mask = o_presc_mask | fixed
 
-    # velocity pass-on strategy
+    # velocity pass-on strategy (reference
+    # DEMCustomizablePolicies/IntegrationVelPassOn*.cu):
+    #   FORWARD_EULER       x advances with the OLD velocity
+    #   CENTERED_DIFFERENCE x advances with the NEW velocity (symplectic)
+    #   EXTENDED_TAYLOR     x advances with the midpoint (old + a*h/2)
     if integrator == TimeIntegrator.FORWARD_EULER:
-        v_pass, o_pass = vel_new, omg_new
+        v_pass = jnp.where(v_presc_mask, vel_new, owners.vel)
+        o_pass = jnp.where(o_presc_mask, omg_new, owners.omg)
     elif integrator == TimeIntegrator.CENTERED_DIFFERENCE:
+        v_pass, o_pass = vel_new, omg_new
+    elif integrator == TimeIntegrator.EXTENDED_TAYLOR:
         v_pass = jnp.where(
             v_presc_mask, vel_new, owners.vel + 0.5 * (vel_new - owners.vel)
         )
         o_pass = jnp.where(
             o_presc_mask, omg_new, owners.omg + 0.5 * (omg_new - owners.omg)
         )
-    elif integrator == TimeIntegrator.EXTENDED_TAYLOR:
-        v_pass = jnp.where(v_presc_mask, vel_new, owners.vel)
-        o_pass = jnp.where(o_presc_mask, omg_new, owners.omg)
     else:  # pragma: no cover
         raise ValueError(integrator)
 

@@ -553,3 +553,16 @@ def test_resize_keeps_unused_layout_placeholders_empty():
                             fused=True, slim=True)
     assert t2.grown(256).fstat_a.shape[1] == 256
     assert t2.shrunk(64).wcb.shape[1] == 64
+
+
+def test_correct_family_lin_vel_callable_component():
+    """Correct* components may be callables of time; the prescription
+    must not call bool() on the traced value (regression: `c(t) or 0.0`
+    raised TracerBoolConversionError at trace time)."""
+    s, _ = _simple_solver(n=2)
+    s.CorrectFamilyLinVel(0, 0.0, 0.0, lambda t: 0.0 * t + 0.1)
+    s.Initialize()
+    p0 = s.GetOwnerPosition().copy()
+    s.DoDynamics(0.1)
+    dz = s.GetOwnerPosition()[:, 2] - p0[:, 2]
+    assert np.allclose(dz, 0.01, atol=2e-4)
