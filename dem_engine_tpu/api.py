@@ -1219,22 +1219,12 @@ class DEMSolver:
         self.state = self.state.replace(owners=owners.replace(family=fam))
 
     def AddFamilyPrescribedAcc(self, family: int, ax=0.0, ay=0.0, az=0.0):
-        comps = (ax, ay, az)
-
-        def fn(t):
-            vals = [(c(t) if callable(c) else c) or 0.0 for c in comps]
-            return jnp.stack([jnp.asarray(v, F) for v in vals])
-
-        self._merge_presc(FamilyPrescription(family=family, acc=fn))
+        self._merge_presc(FamilyPrescription(
+            family=family, acc=self._vec_fn((ax, ay, az))))
 
     def AddFamilyPrescribedAngAcc(self, family: int, ax=0.0, ay=0.0, az=0.0):
-        comps = (ax, ay, az)
-
-        def fn(t):
-            vals = [(c(t) if callable(c) else c) or 0.0 for c in comps]
-            return jnp.stack([jnp.asarray(v, F) for v in vals])
-
-        self._merge_presc(FamilyPrescription(family=family, ang_acc=fn))
+        self._merge_presc(FamilyPrescription(
+            family=family, ang_acc=self._vec_fn((ax, ay, az))))
 
     def _mask_changed(self):
         if not self._initialized:

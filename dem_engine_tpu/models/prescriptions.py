@@ -68,30 +68,62 @@ def fixed(family: int) -> FamilyPrescription:
     return FamilyPrescription(family=family, lin_vel=zero, rot_vel=zero)
 
 
+def _merge_vec(fa, ma, fb, mb):
+    """Component-wise merge of a masked vec3 channel: the later
+    prescription's components override exactly where ITS mask is set;
+    earlier components survive elsewhere. In the reference each axis is
+    an independent codegen expression (APIPrivate.cpp:841-937), so
+    mixing SetFamilyPrescribedLinVel with the per-axis setters keeps
+    the earlier axes prescribed."""
+    if fb is None:
+        return fa, ma
+    if fa is None:
+        return fb, mb
+    sel = jnp.asarray(mb, bool)
+
+    def fn(t, fa=fa, fb=fb, sel=sel):
+        return jnp.where(sel, jnp.asarray(fb(t), F).reshape(3),
+                         jnp.asarray(fa(t), F).reshape(3))
+
+    return fn, tuple(x or y for x, y in zip(ma, mb))
+
+
 def merge(a: FamilyPrescription, b: FamilyPrescription) -> FamilyPrescription:
     """OR-merge two prescriptions for the same family (the reference merges
     repeated calls per family, APIPrivate.cpp:841-937)."""
     assert a.family == b.family
+    lin_vel, lin_vel_mask = _merge_vec(
+        a.lin_vel, a.lin_vel_mask, b.lin_vel, b.lin_vel_mask)
+    rot_vel, rot_vel_mask = _merge_vec(
+        a.rot_vel, a.rot_vel_mask, b.rot_vel, b.rot_vel_mask)
+    lin_pos, lin_pos_mask = _merge_vec(
+        a.lin_pos, a.lin_pos_mask, b.lin_pos, b.lin_pos_mask)
+    lv_s, lv_s_mask = _merge_vec(
+        a.lin_vel_soft, a.lin_vel_soft_mask,
+        b.lin_vel_soft, b.lin_vel_soft_mask)
+    rv_s, rv_s_mask = _merge_vec(
+        a.rot_vel_soft, a.rot_vel_soft_mask,
+        b.rot_vel_soft, b.rot_vel_soft_mask)
+    lp_s, lp_s_mask = _merge_vec(
+        a.lin_pos_soft, a.lin_pos_soft_mask,
+        b.lin_pos_soft, b.lin_pos_soft_mask)
     return FamilyPrescription(
         family=a.family,
-        lin_vel=b.lin_vel or a.lin_vel,
-        lin_vel_mask=b.lin_vel_mask if b.lin_vel else a.lin_vel_mask,
-        rot_vel=b.rot_vel or a.rot_vel,
-        rot_vel_mask=b.rot_vel_mask if b.rot_vel else a.rot_vel_mask,
-        lin_pos=b.lin_pos or a.lin_pos,
-        lin_pos_mask=b.lin_pos_mask if b.lin_pos else a.lin_pos_mask,
+        lin_vel=lin_vel,
+        lin_vel_mask=lin_vel_mask,
+        rot_vel=rot_vel,
+        rot_vel_mask=rot_vel_mask,
+        lin_pos=lin_pos,
+        lin_pos_mask=lin_pos_mask,
         quat=b.quat or a.quat,
         acc=b.acc or a.acc,
         ang_acc=b.ang_acc or a.ang_acc,
-        lin_vel_soft=b.lin_vel_soft or a.lin_vel_soft,
-        lin_vel_soft_mask=(b.lin_vel_soft_mask if b.lin_vel_soft
-                           else a.lin_vel_soft_mask),
-        rot_vel_soft=b.rot_vel_soft or a.rot_vel_soft,
-        rot_vel_soft_mask=(b.rot_vel_soft_mask if b.rot_vel_soft
-                           else a.rot_vel_soft_mask),
-        lin_pos_soft=b.lin_pos_soft or a.lin_pos_soft,
-        lin_pos_soft_mask=(b.lin_pos_soft_mask if b.lin_pos_soft
-                           else a.lin_pos_soft_mask),
+        lin_vel_soft=lv_s,
+        lin_vel_soft_mask=lv_s_mask,
+        rot_vel_soft=rv_s,
+        rot_vel_soft_mask=rv_s_mask,
+        lin_pos_soft=lp_s,
+        lin_pos_soft_mask=lp_s_mask,
         quat_soft=b.quat_soft or a.quat_soft,
     )
 
@@ -126,18 +158,15 @@ class PrescriptionTables:
         P = max(len(pres), 1)
 
         def table(getter, maskget, width):
-            vals = np.zeros((P, width), np.float32)
-            masks = np.zeros((P, width), bool)
-            rows = []
+            v = jnp.zeros((P, width), F)
+            m = jnp.zeros((P, width), bool)
             for i, p in enumerate(pres):
                 fn = getter(p)
-                if fn is not None:
-                    rows.append((i, fn, maskget(p)))
-            v = jnp.zeros((P, width), F)
-            m = jnp.asarray(masks)
-            for i, fn, mask in rows:
+                if fn is None:
+                    continue
                 v = v.at[i].set(jnp.asarray(fn(t), F).reshape(width))
-                m = m.at[i].set(jnp.asarray(mask, bool).reshape(width)[:width])
+                m = m.at[i].set(
+                    jnp.asarray(maskget(p), bool).reshape(width))
             return v, m
 
         self.lin_vel, self.lin_vel_mask = table(

@@ -56,6 +56,10 @@ def build_grid(domain, reach_max):
     nb = jnp.maximum(jnp.ceil(domain / bs), 1.0)
     prod = nb[0] * nb[1] * nb[2]
     scale = jnp.maximum(1.0, jnp.cbrt(prod / _MAX_TOTAL_BINS))
+    # per-axis cap at 2^23: the Pallas sweep carries per-axis indices in
+    # f32 records, which are only integer-exact below 2^24 (an extreme
+    # aspect-ratio domain can blow one axis while the product stays small)
+    scale = jnp.maximum(scale, jnp.max(domain) / bs / float(2**23))
     bs = bs * scale
     nb = jnp.maximum(jnp.ceil(domain / bs), 1.0).astype(I)
     return bs, nb

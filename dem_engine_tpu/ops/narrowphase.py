@@ -129,10 +129,10 @@ def sphere_plane(center, radius, plane_pos, plane_n):
 
 
 def sphere_cylinder(center, radius, cyl_pos, cyl_axis, cyl_rad, normal_sign):
-    """Sphere vs infinite cylinder; normal_sign +1 = sphere outside pushes
-    outward? Reference semantics: ENTITY_NORMAL_INWARD keeps spheres inside
-    the cylinder (drum), OUTWARD keeps them outside.
-    (checkSphereEntityOverlap, ANAL_OBJ_TYPE_CYL_INF case.)"""
+    """Sphere vs infinite cylinder. normal_sign follows defines.py:
+    ENTITY_NORMAL_INWARD = +1 keeps spheres INSIDE the cylinder (drum:
+    overlap = radius - (cyl_rad - dr)), ENTITY_NORMAL_OUTWARD = -1 keeps
+    them outside. (checkSphereEntityOverlap, ANAL_OBJ_TYPE_CYL_INF.)"""
     s2c = cyl_pos - center
     proj = jnp.sum(s2c * cyl_axis, -1)
     radial = s2c - proj[..., None] * cyl_axis  # sphere -> axis, radial

@@ -124,7 +124,8 @@ class Analyticals:
     relpos: jnp.ndarray       # f32[A,3] component position, owner body frame
     direction: jnp.ndarray    # f32[A,3] axis/normal, owner body frame
     size: jnp.ndarray         # f32[A,3] (size1,size2,size3)
-    normal_sign: jnp.ndarray  # f32[A]   +1 outward / -1 inward
+    normal_sign: jnp.ndarray  # f32[A]  +1 inward (drum) / -1 outward
+    #                           (defines.ENTITY_NORMAL_INWARD/OUTWARD)
     mat: jnp.ndarray          # i32[A]
     wildcards: Dict[str, jnp.ndarray]
 

@@ -566,3 +566,22 @@ def test_correct_family_lin_vel_callable_component():
     s.DoDynamics(0.1)
     dz = s.GetOwnerPosition()[:, 2] - p0[:, 2]
     assert np.allclose(dz, 0.01, atol=2e-4)
+
+
+def test_prescription_merge_keeps_earlier_axes():
+    """Mixing the whole-vector setter with a per-axis setter must keep
+    the earlier axes prescribed (regression: merge() replaced the
+    channel wholesale and un-prescribed them; reference treats each axis
+    as an independent expression, APIPrivate.cpp:841-937)."""
+    s, _ = _simple_solver(n=1, gravity=(0, 0, -10.0), h=1e-3)
+    s.SetFamilyPrescribedLinVel(0, vx=0.2)       # x dictated
+    s.SetFamilyPrescribedLinVelZ(0, 0.05)        # later: z dictated
+    s.Initialize()
+    s.DoDynamics(0.1)
+    v = np.asarray(s.state.owners.vel)[0]
+    assert abs(v[0] - 0.2) < 1e-5, v    # x still prescribed
+    assert abs(v[2] - 0.05) < 1e-5, v   # z prescribed (not free fall)
+    p0 = np.asarray([-0.5, 0, 0])
+    p = s.GetOwnerPosition()[0]
+    assert abs(p[0] - (p0[0] + 0.2 * 0.1)) < 1e-4
+    assert abs(p[2] - 0.05 * 0.1) < 1e-4
