@@ -36,7 +36,12 @@ def timed(name, fn, x0, *consts, reps=10):
 
     g = jax.jit(loop)
     y = g(x0, *consts)  # compile + run
-    jax.tree_util.tree_map(lambda a: a.block_until_ready(), y)
+    # WARMUP SYNC: block_until_ready silently no-ops on this backend; a
+    # scalar readback is the only reliable completion barrier (CLAUDE.md).
+    for leaf in jax.tree_util.tree_leaves(y):
+        if leaf.dtype != jnp.int32:
+            float(leaf.sum())
+            break
     t0 = time.perf_counter()
     y = g(x0, *consts)
     s = 0.0
