@@ -502,6 +502,11 @@ _CAP_OVF = (OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC
             | OVF_SPATIAL_BUCKET | OVF_UNIQ)
 
 
+def _is_device_oom(exc: Exception) -> bool:
+    s = repr(exc)
+    return "RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s
+
+
 def estimate_hbm_peak(state: SimState, cfg: SolverConfig) -> Dict[str, float]:
     """Rough HBM peak model for the compiled programs (bytes).
 
@@ -794,13 +799,63 @@ class Engine:
         self._cd_epochs += 1
         self._maybe_reenable_sweep()
         for _ in range(16):
-            new_state = self._get_refresh(state, params)(state, params)
-            ovf = int(new_state.overflow)
+            try:
+                new_state = self._get_refresh(state, params)(state, params)
+                ovf = int(new_state.overflow)
+            except Exception as e:  # refresh jit has no donation: lossless
+                if not (_is_device_oom(e) and self._oom_degrade()):
+                    raise
+                state = self._relayout_ss(state)
+                continue
             if not (ovf & _CAP_OVF):
                 self._check_vel(new_state, ovf)
                 return new_state
             state = self.grow_for(state, ovf)
         raise RuntimeError("contact capacity growth did not converge")
+
+    def _oom_degrade(self) -> bool:
+        """Progressive degradation when a compiled program exhausts HBM
+        despite the estimate_hbm_peak gate (the model is calibrated, not
+        exact — a 1M-clump refresh with the fused dual layouts OOM'd a
+        16 GB chip the model cleared). Returns True if a config change was
+        applied and the caller should retry. Order: drop the unique-fetch
+        arrays first (pure optimization), then the fused force pass (its
+        per-side fstat_a/fstat_b/wcb layouts + their rebuild double-buffers
+        dominate the refresh transient at >6M-contact caps; the engine
+        falls back to the round-2 XLA contact_pass path, which completed
+        1M clumps on the same chip)."""
+        import sys
+
+        cfg = self.cfg
+        if cfg.uniq_cap:
+            changes = {"uniq_cap": 0}
+        elif cfg.use_fused_force:
+            changes = {"use_fused_force": False}
+        else:
+            return False
+        print(f"DEM OOM fallback: {changes} (device RESOURCE_EXHAUSTED; "
+              "retrying with a smaller working set)",
+              file=sys.stderr, flush=True)
+        self.cfg = dataclasses.replace(cfg, **changes)
+        self._build()
+        return True
+
+    def _relayout_ss(self, state: SimState) -> SimState:
+        """Convert state.ss to the CURRENT cfg's table layout (after an
+        _oom_degrade): contact identity/history fields are carried, the
+        layout-dependent fields (statics/premix/fused layouts/uniq) come
+        from a fresh empty table — the next refresh rebuilds them before
+        anything reads them, but their SHAPES must already match or the
+        run_chunks scan carry rejects the state."""
+        from .initializer import empty_ss_table, ss_uniq_rows
+
+        fresh = empty_ss_table(self.cfg, state.ss.cap,
+                               ss_uniq_rows(self.cfg, state.owners.n))
+        keep = ("idA", "idB", "count", "persist", "force", "torque",
+                "cpoint", "wildcards", "own_a", "own_b", "perm_b",
+                "own_b_sorted")
+        ss = fresh.replace(**{k: getattr(state.ss, k) for k in keep})
+        return self._replace_tables(state, ss=ss)
 
     def _propose_k(self, k: int, remaining: int) -> int:
         """Walk the K ladder toward the cheapest measured seconds/step;
@@ -861,8 +916,20 @@ class Engine:
             fn = self._chunks_fn(self.fuse, k, state, params_k)
             prev = state
             t0 = _time.perf_counter()
-            new = fn(state, params_k)
-            ovf = int(new.overflow)  # device sync point
+            try:
+                new = fn(state, params_k)
+                ovf = int(new.overflow)  # device sync point
+            except Exception as e:  # run_chunks jit has no donation
+                if not _is_device_oom(e):
+                    raise
+                if self.fuse > 1:
+                    self.fuse = 1  # smallest fused program first
+                    state = prev
+                elif self._oom_degrade():
+                    state = self._relayout_ss(prev)
+                else:
+                    raise
+                continue
             dt = _time.perf_counter() - t0
             if ovf & _CAP_OVF:
                 state = self.grow_for(prev, ovf)
@@ -907,7 +974,17 @@ class Engine:
             self.timers["refresh_s"] += _time.perf_counter() - t0
             self.timers["refresh_n"] += 1
             t0 = _time.perf_counter()
-            state = self._steps_fn(kk, state, params_k)(state, params_k)
+            try:
+                state = self._steps_fn(kk, state, params_k)(state, params_k)
+            except Exception as e:
+                # _steps_fn donates its input; if the failed call already
+                # consumed it the recovery refresh raises a deleted-array
+                # error — no worse than the OOM it replaces.
+                if not (_is_device_oom(e) and self._oom_degrade()):
+                    raise
+                state = self._relayout_ss(state)
+                state = self.refresh(state, params_k)  # rebuild table layout
+                state = self._steps_fn(kk, state, params_k)(state, params_k)
             self.timers["steps_s"] += _time.perf_counter() - t0
             self.timers["steps_n"] += kk
             done += kk

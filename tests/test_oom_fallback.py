@@ -1,0 +1,132 @@
+"""Device-OOM degradation: the engine drops uniq-fetch, then the fused
+force pass, and retries losslessly when a compiled program raises
+RESOURCE_EXHAUSTED (observed on the 16 GB chip at the 1M-clump refresh —
+the HBM model is calibrated, not exact). Reference analogue: DEME grows
+arrays with explicit OOM checks (DataMigrationHelper.hpp) but has no
+runtime degrade; on TPU the fixed-capacity design makes retry cheap."""
+
+import dataclasses
+
+import numpy as np
+
+from dem_engine_tpu.defines import TimeIntegrator
+from dem_engine_tpu.models import HertzianForceModel
+from dem_engine_tpu.solver import Engine, _is_device_oom
+from dem_engine_tpu.state import SolverConfig
+from dem_engine_tpu.initializer import (
+    make_owners, make_params, make_spheres, make_state)
+
+R = 0.01
+
+
+def _case(**cfg_kw):
+    cfg = SolverConfig(
+        voxel_size=1.0 / 2**16,
+        integrator=TimeIntegrator.CENTERED_DIFFERENCE,
+        force_model=HertzianForceModel(),
+        cap_ss=64, cap_sa=8, cap_st=8,
+        **cfg_kw,
+    )
+    mass = 2500 * 4 / 3 * np.pi * R**3
+    n = 4
+    pos = np.asarray([[0.4 + 0.019 * i, 0.5, 0.5] for i in range(n)])
+    owners = make_owners(
+        pos=pos, voxel_size=cfg.voxel_size,
+        mass=np.full(n, mass), moi=np.full((n, 3), 0.4 * mass * R * R),
+    )
+    spheres = make_spheres(owner=list(range(n)),
+                           relpos=np.zeros((n, 3)), radius=np.full(n, R))
+    state = make_state(owners, spheres, cfg)
+    mats = ({"E": np.asarray([1e8], np.float32),
+             "nu": np.asarray([0.3], np.float32)},
+            {"CoR": np.asarray([[0.5]], np.float32),
+             "mu": np.asarray([[0.4]], np.float32),
+             "Crr": np.asarray([[0.0]], np.float32)})
+    params = make_params(h=1e-6, gravity=[0, 0, 0], domain=[1, 1, 1],
+                         materials=mats[0], pair_materials=mats[1],
+                         update_freq=10)
+    return cfg, state, params
+
+
+class _FakeOOM(RuntimeError):
+    def __repr__(self):
+        return "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
+
+
+def test_is_device_oom_matcher():
+    assert _is_device_oom(_FakeOOM())
+    assert not _is_device_oom(ValueError("shape mismatch"))
+
+
+def test_refresh_oom_degrades_and_completes():
+    """First refresh attempt OOMs -> engine flips use_fused_force off and
+    the run completes with identical physics to a clean engine."""
+    cfg, state, params = _case(use_fused_force=True)
+    eng = Engine(cfg)
+
+    real_get = eng._get_refresh
+    fails = {"n": 1}
+
+    def failing_get(st, pp):
+        fn = real_get(st, pp)
+        if fails["n"]:
+            fails["n"] -= 1
+
+            def boom(*a):
+                raise _FakeOOM()
+            return boom
+        return fn
+
+    eng._get_refresh = failing_get
+    out = eng.advance(state, params, 30, update_freq=10)
+    assert not eng.cfg.use_fused_force  # degraded
+    assert fails["n"] == 0
+
+    cfg2, state2, params2 = _case(use_fused_force=False)
+    ref = Engine(cfg2).advance(state2, params2, 30, update_freq=10)
+    np.testing.assert_allclose(np.asarray(out.owners.vel),
+                               np.asarray(ref.owners.vel), atol=1e-7)
+
+
+def test_chunk_loop_oom_rewinds_and_degrades():
+    """A device OOM inside the fused run_chunks dispatch rewinds to the
+    retained pre-chunk state (no donation on that jit) and retries with
+    the degraded config — physics identical to a clean non-fused run."""
+    cfg, state, params = _case(use_fused_force=True)
+    eng = Engine(cfg)
+    eng.fuse = 1  # keep the program count low on CPU
+
+    real_fn = eng._chunks_fn
+    fails = {"n": 1}
+
+    def failing(n_chunks, k, st, pp):
+        fn = real_fn(n_chunks, k, st, pp)
+        if fails["n"]:
+            fails["n"] -= 1
+
+            def boom(*a):
+                raise _FakeOOM()
+            return boom
+        return fn
+
+    eng._chunks_fn = failing
+    out = eng.advance(state, params, 30, update_freq=10)
+    assert fails["n"] == 0
+    assert not eng.cfg.use_fused_force
+
+    cfg2, state2, params2 = _case(use_fused_force=False)
+    ref = Engine(cfg2).advance(state2, params2, 30, update_freq=10)
+    np.testing.assert_allclose(np.asarray(out.owners.vel),
+                               np.asarray(ref.owners.vel), atol=1e-7)
+
+
+def test_uniq_fetch_dropped_before_fused_pass():
+    """With uniq-fetch on, the first OOM only disables uniq_cap; the
+    second disables the fused pass; a third finds nothing left to drop."""
+    cfg, state, params = _case(use_fused_force=True, uniq_cap=64)
+    eng = Engine(cfg)
+    assert eng._oom_degrade()
+    assert eng.cfg.uniq_cap == 0 and eng.cfg.use_fused_force
+    assert eng._oom_degrade()
+    assert not eng.cfg.use_fused_force
+    assert not eng._oom_degrade()
