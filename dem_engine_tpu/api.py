@@ -767,22 +767,80 @@ class DEMSolver:
     def SetMaxTriangleInBin(self, n: int):
         self._init_max_tri_span = max(2, int(n) // 8)
 
-    # Bin sizing is automatic here (bin = 2*max reach, recomputed every
-    # refresh with no recompilation); these exist for source compatibility.
+    # Bin sizing: the cell floor is 2*max(reach) (one-bin-per-sphere CD;
+    # recomputed every refresh with no recompiles). The user knobs drive a
+    # traced multiplier ABOVE that floor (reference decideBinSize +
+    # calibrateParams, APIPrivate.cpp:489-566 / kT.cpp:43-98); requests
+    # below the floor clamp with a warning (a smaller cell would silently
+    # miss pairs beyond one cell in this design).
+    def _bin_floor(self) -> float:
+        """The 2*max(reach) cell floor at rest-state margins (radius only
+        pre-init; live margins once running)."""
+        if self._initialized and self.state.spheres.n:
+            from .solver import sphere_margins
+
+            margin, _, _ = sphere_margins(
+                self.state.owners, self.state.spheres, self.params)
+            return 2.02 * float(
+                (self.state.spheres.radius + margin).max())
+        r = [float(np.max(t.radii)) for t in self._templates if len(t.radii)]
+        return 2.02 * max(r) if r else 0.0
+
+    def _apply_bin_size(self, s: float):
+        floor = self._bin_floor()
+        if floor <= 0:
+            return
+        f = float(s) / floor
+        if f < 0.999:
+            import warnings
+
+            warnings.warn(
+                f"SetBinSize/SetInitBinSize: requested bin {s:.3e} is "
+                f"below the one-bin-per-sphere floor {floor:.3e} "
+                "(2 x max sphere reach); clamping to the floor. Bins "
+                "smaller than the largest sphere's reach would miss "
+                "contacts in this CD design."
+            )
+        if self.engine is not None:
+            self.engine.bin_factor = max(1.0, f)
+            self.engine._bin_perf.clear()
+
     def SetInitBinSize(self, s):
-        pass
+        """Seed the (adaptive) bin size with an absolute cell size
+        (reference API.h:1528)."""
+        self._init_bin_size = float(s)
+        if self._initialized:
+            self._apply_bin_size(s)
 
     def SetBinSize(self, s):
-        pass
+        """Fix the bin size (disables the adaptive tuner; reference
+        API.h:282)."""
+        self._init_bin_size = float(s)
+        self._use_adaptive_bin = False
+        if self._initialized:
+            self._apply_bin_size(s)
+            self.engine.auto_bin = False
 
     def SetInitBinNumTarget(self, n):
-        pass
+        """Seed the bin size from a target total bin count (reference
+        API.h:1538)."""
+        n = max(int(n), 1)
+        dims = getattr(self, "_dims", None)
+        if dims is None:
+            return
+        vol = float(np.prod(np.asarray(dims, np.float64)))
+        self.SetInitBinSize((vol / n) ** (1.0 / 3.0))
 
     def UseAdaptiveBinSize(self, flag: bool = True):
-        pass
+        """Let the engine walk the bin-size factor toward the cheapest
+        measured wall time between fused superchunks (reference
+        API.h:1532; kT calibrateParams)."""
+        self._use_adaptive_bin = bool(flag)
+        if self._initialized:
+            self.engine.auto_bin = bool(flag)
 
     def SetAdaptiveBinSizeDelaySteps(self, n):
-        pass
+        pass  # the tuner is event-driven per superchunk, not step-delayed
 
     def SetJitifyClumpTemplates(self, flag: bool = True):
         pass  # templates are always flattened arrays here
@@ -1860,8 +1918,11 @@ class DEMSolver:
         self.engine = Engine(cfg)
         self.engine.auto_freq = getattr(self, "_adaptive_freq", False)
         self.engine.max_freq = getattr(self, "_max_update_freq", None)
+        self.engine.auto_bin = getattr(self, "_use_adaptive_bin", False)
         self._rebuild_params()
         self._initialized = True
+        if getattr(self, "_init_bin_size", None):
+            self._apply_bin_size(self._init_bin_size)
         for t in getattr(self, "_pending_trackers", []):
             fresh = self._make_tracker(t.obj)
             t.owner_ids = fresh.owner_ids
@@ -2172,7 +2233,8 @@ class DEMSolver:
             self.state.owners, self.state.spheres, self.params
         )
         reach_max = (self.state.spheres.radius + margin).max()
-        bs, _nb = _b.build_grid(self.params.domain, reach_max)
+        bs, _nb = _b.build_grid(self.params.domain, reach_max,
+                                self.engine.bin_factor)
         return float(bs)
 
     def GetMaxVelocity(self) -> float:
@@ -2188,7 +2250,8 @@ class DEMSolver:
             self.state.owners, self.state.spheres, self.params
         )
         reach_max = (self.state.spheres.radius + margin).max()
-        _bs, nb = _b.build_grid(self.params.domain, reach_max)
+        _bs, nb = _b.build_grid(self.params.domain, reach_max,
+                                self.engine.bin_factor)
         nb = np.asarray(nb)
         return int(nb[0]) * int(nb[1]) * int(nb[2])
 
@@ -2906,10 +2969,18 @@ class DEMSolver:
             f"  ({t['refresh_n']} refreshes, {refresh_per:.1f} ms each)\n"
             f"  dynamics (solo)   : {t['steps_s']:8.3f}s"
             f"  ({t['steps_n']} steps, {step_per:.3f} ms/step)\n"
-            f"  program compiles  : {t['compiles']}"
+            f"  program compiles  : {t['compiles']}\n"
+            f"  engine events     : grows={t['grows']} "
+            f"shrinks={t['shrinks']} rewinds={t['rewinds']} "
+            f"oom_degrades={t['oom_degrades']} "
+            f"sweep_disables={t['sweep_disables']} "
+            f"bin_factor={self.engine.bin_factor:.2f}"
             + (f"\n  adaptive CD freq  : K={self.engine.active_freq} "
                f"measured {[(k, round(v*1e3, 3)) for k, v in sorted(self.engine._k_perf.items())]} ms/step"
                if self.engine.auto_freq else "")
+            + (f"\n  adaptive bin      : measured "
+               f"{[(f, round(v*1e3, 3)) for f, v in sorted(self.engine._bin_perf.items())]} ms/step"
+               if self.engine.auto_bin else "")
         )
 
     def ClearTimingStats(self):

@@ -135,11 +135,16 @@ def empty_ss_table(cfg: SolverConfig, cap: int,
     build through here so the layouts can never diverge."""
     from .ops.forces import premix_names
 
+    fused = (cfg.use_fused_force
+             and cfg.force_model.fused_variant is not None)
+    # slim tables carry NO premix dict: the fused kernel reads the
+    # effective moduli from its fstat rows, and the XLA contact_pass never
+    # sees this table — 8 dead f32[cap] arrays (~400 MB at the 1M-clump
+    # capacity) otherwise ride the state (VERDICT r3 #2)
     return ContactTable.empty(
         cap, cfg.force_model.contact_wildcards,
-        premix_names(cfg.force_model),
-        fused=(cfg.use_fused_force
-               and cfg.force_model.fused_variant is not None),
+        () if fused else premix_names(cfg.force_model),
+        fused=fused,
         slim=cfg.use_fused_force,
         uniq_rows=uniq_rows,
     )
@@ -197,6 +202,7 @@ def make_params(
     family_persist: Optional[np.ndarray] = None,
     family_extra_margin: Optional[np.ndarray] = None,
     cls_thr: float = 0.0,
+    bin_factor: float = 1.0,
 ) -> RuntimeParams:
     if family_mask is None:
         family_mask = np.ones((256, 256), bool)
@@ -220,4 +226,5 @@ def make_params(
         mat_props={k: _f(v) for k, v in materials.items()},
         pair_props={k: _f(v) for k, v in pair_materials.items()},
         cls_thr=_f(cls_thr),
+        bin_factor=_f(bin_factor),
     )

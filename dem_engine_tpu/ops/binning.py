@@ -46,13 +46,19 @@ _MAX_TOTAL_BINS = float(2**30)
 _SENTINEL_BIN = np.int32(2**31 - 1)
 
 
-def build_grid(domain, reach_max):
+def build_grid(domain, reach_max, factor=None):
     """Choose bin size and per-axis bin counts (all traced).
 
     Plays the role of decideBinSize + the kT auto-tuner
     (APIPrivate.cpp:489-566) but is recomputed every refresh for free.
+    `factor` (traced, >= 1) scales the cell above the one-bin-per-sphere
+    floor of 2*reach: the engine's adaptive bin tuner and the user's
+    SetBinSize/SetInitBinSize drive it without recompiles (sizes below
+    the floor would silently miss pairs beyond one cell, so it clamps).
     """
     bs = 2.0 * reach_max * 1.01 + 1e-30
+    if factor is not None:
+        bs = bs * jnp.maximum(factor, 1.0)
     nb = jnp.maximum(jnp.ceil(domain / bs), 1.0)
     prod = nb[0] * nb[1] * nb[2]
     scale = jnp.maximum(1.0, jnp.cbrt(prod / _MAX_TOTAL_BINS))
@@ -263,29 +269,88 @@ _FULL_SHELL = np.stack(
 ).reshape(-1, 3).astype(np.int32)  # 27 neighbor offsets
 
 
-def find_pairs_cross(pos, reach, owner, family, row_member,
-                     tab: SphereBinTable, family_mask, bin_size, nb,
-                     cap, max_per_bin, base=None, outs=None, chunk=0):
-    """Cross-class sphere–sphere candidates: rows are `row_member` spheres,
-    candidates come from `tab` (a table of the OTHER class, binned on a
-    grid of cell `bin_size` >= max_reach_row + max_reach_cand so touching
-    pairs are within one cell). Classes are disjoint, so each unordered
-    pair is visited exactly once and the full 27-bin shell is scanned
-    (no half-shell dedup). Appends into (outs, base) from a prior sweep.
+def compact_member(member, lcap, *arrays):
+    """Stable-compact the `member` rows of `arrays` into static-size lcap
+    heads (members keep ascending index order, so canonical id ordering is
+    preserved through the compaction). Returns
+    (compacted tuple, orig_id i32[lcap] (=S on dead rows), live bool[lcap],
+    n_member, ovf bool[] — more members than lcap)."""
+    S = member.shape[0]
+    key = jnp.where(member, 0, 1).astype(I)
+    _, order = jax.lax.sort((key, jnp.arange(S, dtype=I)), num_keys=1)
+    sel = order[:lcap]
+    n_mem = jnp.sum(member.astype(I))
+    live = jnp.arange(lcap, dtype=I) < n_mem
+    outs = tuple(a[sel] for a in arrays)
+    orig = jnp.where(live, sel, S)
+    return outs, orig, live, n_mem, n_mem > lcap
 
-    The reference instead re-sizes ONE grid to the largest sphere
-    (decideBinSize, APIPrivate.cpp:489-566) and eats the occupancy; the
-    two-grid split keeps per-bin occupancy near the monodisperse case for
-    ratio-3 GRC beds (VERDICT r2 #4)."""
+
+def build_cross_entries(pos_l, footprint, live_l, bin_size, nb):
+    """Multi-bin registration of (compacted) large-class spheres: each
+    sphere enters every bin whose cell cube is within `footprint` (its
+    reach + the other class's max reach) of its center, so a cross pair
+    is found by scanning ONLY the small sphere's own bin — the reference's
+    multi-bin sphere membership (DEMBinSphereKernels.cu:60-153) applied to
+    the large class. `footprint <= bin_size` is the caller's invariant
+    (coarse cell >= reach_l_max and >= reach_s_max + reach_l_max ... / 2),
+    so the 27-offset full shell statically covers the footprint.
+
+    Boundary bins use half-open cubes (positions outside the domain clip
+    into edge bins; the extended cube keeps the registration a superset of
+    every position that clips there).
+
+    Returns (entry_bins i32[L*27] sorted, entry_lidx i32[L*27] compact
+    large index per entry, occ_x i32[] max entries in one bin)."""
+    L = pos_l.shape[0]
+    c3 = bin_index_3d(pos_l, bin_size, nb)
+    offs = jnp.asarray(_FULL_SHELL)                        # (27,3)
+    tgt3 = c3[:, None, :] + offs[None, :, :]               # (L,27,3)
+    ok = jnp.all((tgt3 >= 0) & (tgt3 < nb[None, None, :]), axis=-1)
+    ok &= live_l[:, None]
+    lo = jnp.where(tgt3 == 0, -jnp.inf,
+                   tgt3.astype(F) * bin_size)
+    hi = jnp.where(tgt3 == nb[None, None, :] - 1, jnp.inf,
+                   (tgt3 + 1).astype(F) * bin_size)
+    cl = jnp.clip(pos_l[:, None, :], lo, hi)
+    d = pos_l[:, None, :] - cl
+    ok &= jnp.sum(d * d, axis=-1) <= footprint[:, None] ** 2
+    binid = jnp.where(ok, flat_bin(tgt3, nb), _SENTINEL_BIN)
+    lidx = jnp.broadcast_to(
+        jnp.arange(L, dtype=I)[:, None], (L, 27)
+    )
+    sb, sl = jax.lax.sort(
+        (binid.reshape(-1), lidx.reshape(-1)), num_keys=1
+    )
+    E = L * 27
+    k = jnp.arange(E, dtype=I)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), sb[1:] != sb[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(boundary, k, 0))
+    occ = jnp.where(sb != _SENTINEL_BIN, k - run_start + 1, 0)
+    occ_x = occ.max() if E else jnp.zeros((), I)
+    return sb, sl, occ_x
+
+
+def find_pairs_cross_fine(pos, reach, owner, family, row_member, rec_l,
+                          entry_bins, entry_lidx, family_mask, bin_size,
+                          nb, cap, mpb_x, base=None, outs=None, chunk=0):
+    """Cross-class candidates via the multi-bin entry table: rows are
+    `row_member` (small) spheres, each scanning the entries of its OWN
+    coarse bin only (build_cross_entries pre-expanded the large class's
+    footprints, so no neighbor-shell scan and no per-row searchsorted fan
+    out — the round-3 coarse slot sweep scanned 27 offsets x max_per_bin
+    for EVERY small sphere and was the 10x poly refresh cost,
+    VERDICT r3 #3). Classes are disjoint so each unordered pair is
+    visited exactly once. Appends into (outs, base)."""
     S = pos.shape[0]
+    E = entry_bins.shape[0]
     if chunk <= 0:
         chunk = min(max(S, 1), 65536)
     n_chunks = -(-S // chunk)
     spad_rows = n_chunks * chunk
-    spad = tab.sorted_bin.shape[0]
     fam_mask_flat = family_mask.reshape(-1)
-    offs = jnp.asarray(_FULL_SHELL)  # (27,3)
-    mpb = max_per_bin
 
     if outs is None:
         outs = (jnp.full((cap,), -1, I), jnp.full((cap,), -1, I))
@@ -293,56 +358,58 @@ def find_pairs_cross(pos, reach, owner, family, row_member,
         base = jnp.zeros((), I)
 
     pad = spad_rows - S
-    rid = jnp.arange(spad_rows, dtype=I)
-    live_row = (rid < S) & jnp.concatenate(
-        [row_member, jnp.zeros((pad,), bool)]
-    ) if pad else ((rid < S) & row_member)
-    posp = jnp.concatenate([pos, jnp.zeros((pad, 3), F)]) if pad else pos
-    reachp = jnp.concatenate([reach, jnp.full((pad,), -1e30, F)]
-                             ) if pad else reach
-    ownp = jnp.concatenate([owner, jnp.full((pad,), -1, I)]
-                           ) if pad else owner
-    famp = jnp.concatenate([family, jnp.zeros((pad,), I)]) if pad else family
 
-    idx3_all = bin_index_3d(posp, bin_size, nb)
+    def padded(x, fill):
+        if not pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+        )
+
+    live_row = padded(row_member, False)
+    posp = padded(pos, 0.0)
+    reachp = padded(reach, -1e30)
+    ownp = padded(owner, -1)
+    famp = padded(family, 0)
+
+    myb = flat_bin(bin_index_3d(posp, bin_size, nb), nb)
+    myb = jnp.where(live_row, myb, -2)
+    starts_all = jnp.searchsorted(
+        entry_bins, myb, method="sort").astype(I)
+    ends_all = jnp.searchsorted(
+        entry_bins, myb, side="right", method="sort").astype(I)
 
     def body(carry, ci):
         outA, outB, total = carry
         k0 = ci * chunk
-        my_idx3 = jax.lax.dynamic_slice_in_dim(idx3_all, k0, chunk)
         my_pos = jax.lax.dynamic_slice_in_dim(posp, k0, chunk)
         my_reach = jax.lax.dynamic_slice_in_dim(reachp, k0, chunk)
         my_own = jax.lax.dynamic_slice_in_dim(ownp, k0, chunk)
         my_fam = jax.lax.dynamic_slice_in_dim(famp, k0, chunk)
         my_live = jax.lax.dynamic_slice_in_dim(live_row, k0, chunk)
+        starts = jax.lax.dynamic_slice_in_dim(starts_all, k0, chunk)
+        ends = jax.lax.dynamic_slice_in_dim(ends_all, k0, chunk)
         my_id = k0 + jnp.arange(chunk, dtype=I)
 
-        tgt3 = my_idx3[:, None, :] + offs[None, :, :]          # (ch,27,3)
-        ok3 = jnp.all((tgt3 >= 0) & (tgt3 < nb[None, None, :]), axis=-1)
-        tgt = jnp.where(ok3, flat_bin(tgt3, nb), -2)           # (ch,27)
-
-        starts = jnp.searchsorted(tab.sorted_bin, tgt)
-        ends = jnp.searchsorted(tab.sorted_bin, tgt, side="right")
-        slots = starts[..., None] + jnp.arange(mpb, dtype=I)   # (ch,27,mpb)
-        slots_c = jnp.minimum(slots, spad - 1)
-        valid = (slots < ends[..., None]) & (slots < spad)
-        valid &= my_live[:, None, None]
-
-        crec = tab.rec[slots_c]
+        slots = starts[:, None] + jnp.arange(mpb_x, dtype=I)  # (ch,mpb)
+        valid = (slots < ends[:, None]) & (slots < E)
+        valid &= my_live[:, None]
+        lid = entry_lidx[jnp.minimum(slots, E - 1)]
+        crec = rec_l[lid]                   # (ch, mpb, 7) one row-gather
         cpos = crec[..., 0:3]
         cre = crec[..., 3]
         cown = crec[..., 4]
         cfam = crec[..., 5].astype(I)
         cid = crec[..., 6].astype(I)
 
-        d = my_pos[:, None, None, :] - cpos
+        d = my_pos[:, None, :] - cpos
         d2 = jnp.sum(d * d, axis=-1)
-        rr = my_reach[:, None, None] + cre
+        rr = my_reach[:, None] + cre
         hit = valid & (d2 < rr * rr) & (rr > 0.0)
-        hit &= cown.astype(I) != my_own[:, None, None]
-        hit &= fam_mask_flat[my_fam[:, None, None] * 256 + cfam]
+        hit &= cown.astype(I) != my_own[:, None]
+        hit &= fam_mask_flat[my_fam[:, None] * 256 + cfam]
 
-        a = jnp.broadcast_to(my_id[:, None, None], hit.shape)
+        a = jnp.broadcast_to(my_id[:, None], hit.shape)
         lo = jnp.minimum(a, cid).reshape(-1)
         hi = jnp.maximum(a, cid).reshape(-1)
         (outA, outB), total = _compact(

@@ -99,6 +99,35 @@ def gather_rows(tab, idx):
     )
 
 
+#: column-chunk width for the streamed field-major layout rebuild; engaged
+#: when the contact capacity is past _CHUNKED_LAYOUT_CAP so the (cap, w)
+#: contact-major gather intermediate never materializes whole (the fused
+#: 1M-clump refresh transient that OOM'd the 16 GB chip, VERDICT r3 #2)
+_LAYOUT_CHUNK = 1 << 20
+_CHUNKED_LAYOUT_CAP = 6 << 20
+
+
+def gather_rows_T(tab, idx, chunk=0):
+    """gather_rows(tab, idx).T — field-major output, optionally streamed
+    in column chunks of `chunk` rows (the last chunk slides back to stay
+    full-width; overlapping columns recompute identical values)."""
+    cap = idx.shape[0]
+    if chunk <= 0 or cap <= chunk:
+        return gather_rows(tab, idx).T
+    n_chunks = -(-cap // chunk)
+    w = tab.shape[1]
+
+    def body(i, out):
+        start = jnp.minimum(i * chunk, cap - chunk)
+        sl = jax.lax.dynamic_slice_in_dim(idx, start, chunk)
+        g = gather_rows(tab, sl)
+        return jax.lax.dynamic_update_slice(out, g.T, (0, start))
+
+    return jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((w, cap), F)
+    )
+
+
 def premix_names(model) -> Tuple[str, ...]:
     """Premixed-material key set stored in the contact table."""
     names = []
@@ -224,6 +253,8 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
         )
 
     # ---- premixed material properties -------------------------------------
+    # (on slim/fused tables the dict is consumed by the fstat build below
+    # and NOT stored — the kernel reads effective moduli from fstat rows)
     premix = {}
     for name in model.per_material_props:
         t = params.mat_props[name]
@@ -280,13 +311,14 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
         fs_cm = jnp.where(live[:, None], fs_cm, 0.0)
         fs_cm = fs_cm.at[:, 0].set(jnp.where(live, own_a.astype(F), -1.0))
         fstat_a = fs_cm.T
-        fs_b = gather_rows(fs_cm, perm_b)
+        lo_chunk = _LAYOUT_CHUNK if cap >= _CHUNKED_LAYOUT_CAP else 0
+        fs_bT = gather_rows_T(fs_cm, perm_b, chunk=lo_chunk)
         # the B layout reduces over own_b: its own_key is own_b_sorted
         # (dead -> -1, NOT n_owners: a dead key of n_owners could land
         # inside the last owner block's one-hot window)
         keyb = jnp.where(own_b_sorted < n_owners,
                          own_b_sorted.astype(F), -1.0)
-        fstat_b = fs_b.T.at[0].set(keyb)
+        fstat_b = fs_bT.at[0].set(keyb)
         own_a_b = jnp.where(own_b_sorted < n_owners,
                             jnp.where(live, own_a, 0)[perm_b], 0)
         wc_cm = jnp.stack(
@@ -294,7 +326,7 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
             + [zero] * (WCB_W - len(wc_names)),
             axis=1,
         )
-        wcb = gather_rows(wc_cm, perm_b).T
+        wcb = gather_rows_T(wc_cm, perm_b, chunk=lo_chunk)
 
     uidx, uidx_b = table.uidx, table.uidx_b
     uniq_a, uniq_b = table.uniq_a, table.uniq_b
@@ -323,7 +355,7 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
         perm_b=perm_b,
         own_b_sorted=own_b_sorted,
         statics=statics,
-        premix=premix,
+        premix={} if slim else premix,
         fstat_a=fstat_a,
         fstat_b=fstat_b,
         wcb=wcb,

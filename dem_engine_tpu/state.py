@@ -352,6 +352,8 @@ OVF_PALLAS_WIN = 512    # pallas sweep slab window exceeded
 OVF_SEGRED = 1024       # pallas segment-reduce owner window exceeded
 OVF_SPATIAL_BUCKET = 2048  # spatial-refresh exchange bucket exceeded
 OVF_UNIQ = 4096         # per-block unique-other-owner count above uniq_cap
+OVF_XOCC = 8192         # cross-class entry-bin occupancy above cross_mpb
+OVF_LCAP = 16384        # large-class count above the compaction capacity
 
 
 @pytree_dataclass
@@ -399,6 +401,11 @@ class RuntimeParams:
     # two-class CD radius threshold (radius <= cls_thr -> small class);
     # traced so the split tracks radius changes without recompiles
     cls_thr: jnp.ndarray  # f32[]
+    # bin-size multiplier above the 2*max(reach) one-bin-per-sphere floor
+    # (>= 1, traced): driven by the engine's adaptive bin tuner and the
+    # SetBinSize/SetInitBinSize APIs (reference calibrateParams loop,
+    # kT.cpp:43-98) without recompiles
+    bin_factor: jnp.ndarray  # f32[]
 
 
 # ---------------------------------------------------------------------------
@@ -453,6 +460,12 @@ class SolverConfig:
     # the reference's occupancy-aware decideBinSize + kT bin auto-tuner,
     # APIPrivate.cpp:489-566 / kT.cpp:43-98)
     cd_two_class: bool = False
+    # two-class CD tuning: static capacity for the compacted large class
+    # (0 = auto: ~n_spheres/3) and the per-coarse-bin entry scan width of
+    # the S-L own-bin sweep (binning.find_pairs_cross_fine); both grow on
+    # OVF_LCAP / OVF_XOCC
+    cross_lcap: int = 0
+    cross_mpb: int = 16
     # unique-other-owner fetch for the fused pass (0 = off): per-block
     # unique-list capacity. The refresh builds per-block unique other-owner
     # lists and local indices; the step gathers only unique kinematic
@@ -486,6 +499,8 @@ class SolverConfig:
                 self.spatial_capx,
                 self.ss_family_filter,
                 self.cd_two_class,
+                self.cross_lcap,
+                self.cross_mpb,
                 self.uniq_cap,
             )
         )

@@ -211,3 +211,41 @@ def test_fused_extras_match_xla_across_block_boundaries():
     # dead rows must be exactly zero (no uninitialized kernel output)
     for name in ("force", "torque", "cpoint"):
         assert np.all(np.asarray(getattr(t_f, name))[~live] == 0.0)
+
+
+def test_gather_rows_T_chunked_matches():
+    """The column-streamed layout gather (1M-fit path, VERDICT r3 #2)
+    is bit-identical to the one-shot gather+transpose, including the
+    overlapping final chunk."""
+    import numpy as np
+
+    from dem_engine_tpu.defines import F, I
+    from dem_engine_tpu.ops import forces
+
+    rng = np.random.default_rng(0)
+    tab = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 300, size=1000), I)
+    ref = forces.gather_rows(tab, idx).T
+    for chunk in (128, 256, 999, 1000):
+        got = forces.gather_rows_T(tab, idx, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_slim_table_has_no_premix():
+    """Fused/slim SS tables carry no premix dict (the kernel reads the
+    effective moduli from fstat rows); the XLA table keeps it."""
+    import dataclasses
+
+    from tools.check_fused_tpu import build
+    from dem_engine_tpu.solver import refresh_contacts
+
+    state, params, cfg = build(64)
+    st_f = jax.jit(lambda s, p: refresh_contacts(s, p, cfg))(state, params)
+    assert st_f.ss.premix == {}
+    cfg_x = dataclasses.replace(cfg, use_fused_force=False)
+    from dem_engine_tpu.initializer import empty_ss_table
+
+    state_x = state.replace(ss=empty_ss_table(cfg_x, cfg_x.cap_ss))
+    st_x = jax.jit(lambda s, p: refresh_contacts(s, p, cfg_x))(
+        state_x, params)
+    assert "E:a" in st_x.ss.premix

@@ -45,21 +45,40 @@ def _single_grid(pos, reach, owner, family, mask, domain, cap):
 
 
 def _two_class(pos, reach, radius, owner, family, mask, domain, cap,
-               thr, pallas_small=False):
+               thr, pallas_small=False, lcap=None, cross_mpb=64):
     small = radius <= thr
     large = ~small
+    S = pos.shape[0]
     reach_s = jnp.max(jnp.where(small, reach, 0.0))
     reach_l = jnp.max(jnp.where(large, reach, 0.0))
     # mirror solver.refresh_contacts: cell covers reach_s + reach_l too
     bs_l, nb_l = binning.build_grid(
         domain, jnp.maximum(reach_l, 0.5 * (reach_s + reach_l)))
-    idA, idB, n_ll, occ_l, tab_l = binning.find_pairs_ss(
-        pos, reach, owner, family, mask, bs_l, nb_l, cap, 64,
-        member=large,
+    lcap = lcap or S
+    ((pos_c, reach_c, own_c, fam_c), orig_l, live_l, _n_large,
+     lcap_ovf) = binning.compact_member(
+        large, lcap, pos, reach, owner, family)
+    assert not bool(lcap_ovf)
+    reach_c = jnp.where(live_l, reach_c, -1e30)
+    own_c = jnp.where(live_l, own_c, -1)
+    fam_c = jnp.where(live_l, fam_c, 0)
+    idA, idB, n_ll, occ_l, _ = binning.find_pairs_ss(
+        pos_c, reach_c, own_c, fam_c, mask, bs_l, nb_l, cap, 64,
+        member=live_l,
     )
-    idA, idB, n_xl = binning.find_pairs_cross(
-        pos, reach, owner, family, small, tab_l, mask, bs_l, nb_l,
-        cap, 64, base=jnp.minimum(n_ll, cap), outs=(idA, idB),
+    idA = jnp.where(idA >= 0, orig_l[jnp.maximum(idA, 0)], -1)
+    idB = jnp.where(idB >= 0, orig_l[jnp.maximum(idB, 0)], -1)
+    rec_l = jnp.concatenate(
+        [pos_c, reach_c[:, None], own_c.astype(F)[:, None],
+         fam_c.astype(F)[:, None],
+         jnp.minimum(orig_l, S).astype(F)[:, None]], axis=1)
+    eb, el, occ_x = binning.build_cross_entries(
+        pos_c, jnp.maximum(reach_c + reach_s, 0.0), live_l, bs_l, nb_l)
+    assert int(occ_x) <= cross_mpb
+    idA, idB, n_xl = binning.find_pairs_cross_fine(
+        pos, reach, owner, family, small, rec_l, eb, el, mask,
+        bs_l, nb_l, cap, cross_mpb,
+        base=jnp.minimum(n_ll, cap), outs=(idA, idB),
     )
     bs_s, nb_s = binning.build_grid(domain, reach_s)
     if pallas_small:

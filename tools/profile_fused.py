@@ -38,10 +38,16 @@ def timed(name, fn, x0, *consts, reps=10):
     y = g(x0, *consts)  # compile + run
     # WARMUP SYNC: block_until_ready silently no-ops on this backend; a
     # scalar readback is the only reliable completion barrier (CLAUDE.md).
-    for leaf in jax.tree_util.tree_leaves(y):
-        if leaf.dtype != jnp.int32:
-            float(leaf.sum())
-            break
+    # Prefer a float leaf; fall back to an integer leaf (int(sum()) is a
+    # completion barrier too) so integer-only outputs still sync.
+    leaves = jax.tree_util.tree_leaves(y)
+    sync = next((l for l in leaves if l.dtype != jnp.int32), None)
+    if sync is not None:
+        float(sync.sum())
+    elif leaves:
+        int(leaves[0].sum())
+    else:
+        raise AssertionError("no output leaf to sync the warmup on")
     t0 = time.perf_counter()
     y = g(x0, *consts)
     s = 0.0
