@@ -35,6 +35,8 @@ def main():
                          "pass (0 = direct per-contact gather)")
     ap.add_argument("--timers", action="store_true",
                     help="print the engine timer breakdown to stderr")
+    ap.add_argument("--skip-1m", action="store_true",
+                    help="skip the 1M-clump baseline-shape extra run")
     args = ap.parse_args()
 
     import jax
@@ -59,52 +61,63 @@ def main():
     from __graft_entry__ import _build_case
     from dem_engine_tpu.solver import Engine
 
-    cfg, state, params = _build_case(
-        n_clumps=n, update_freq=args.update_freq,
-        poly_frac=0.2 if args.poly else 0.0,
-        **({"uniq_cap": args.uniq} if args.uniq else {}),
-    )
-    eng = Engine(cfg)
-    eng.auto_freq = args.auto
+    def run_shape(n_run, warmup, steps, poly, uniq, timers_tag=None):
+        cfg, state, params = _build_case(
+            n_clumps=n_run, update_freq=args.update_freq,
+            poly_frac=0.2 if poly else 0.0,
+            **({"uniq_cap": uniq} if uniq else {}),
+        )
+        eng = Engine(cfg)
+        eng.auto_freq = args.auto
+        # warmup: compiles + settles capacities + establishes contacts
+        state = eng.advance(state, params, warmup, args.update_freq)
+        jax.block_until_ready(state.owners.vox)
+        t0 = time.perf_counter()
+        state = eng.advance(state, params, steps, args.update_freq)
+        jax.block_until_ready(state.owners.vox)
+        dt = time.perf_counter() - t0
+        if args.timers:
+            import sys
 
-    # warmup: compiles + settles capacities + establishes contacts
-    state = eng.advance(state, params, args.warmup, args.update_freq)
-    jax.block_until_ready(state.owners.vox)
+            t = dict(eng.timers)
+            t["timed_steps"] = steps
+            t["timed_s"] = dt
+            t["ms_per_step"] = dt / steps * 1e3
+            t["cap_ss"] = eng.cfg.cap_ss
+            t["contacts"] = int(state.ss.count)
+            t["active_freq"] = eng.active_freq
+            t["k_perf_ms"] = {k: round(v * 1e3, 2)
+                              for k, v in eng._k_perf.items()}
+            if timers_tag:
+                t["shape"] = timers_tag
+            print("TIMERS", t, file=sys.stderr, flush=True)
+        return n_run * steps / dt  # clump-steps/s on this one chip
 
-    t0 = time.perf_counter()
-    state = eng.advance(state, params, args.steps, args.update_freq)
-    jax.block_until_ready(state.owners.vox)
-    dt = time.perf_counter() - t0
-
-    rate = n * args.steps / dt  # clump-steps/s on this one chip
-    if args.timers:
-        import sys
-
-        t = dict(eng.timers)
-        t["timed_steps"] = args.steps
-        t["timed_s"] = dt
-        t["ms_per_step"] = dt / args.steps * 1e3
-        t["cap_ss"] = eng.cfg.cap_ss
-        t["contacts"] = int(state.ss.count)
-        t["active_freq"] = eng.active_freq
-        t["k_perf_ms"] = {k: round(v * 1e3, 2)
-                          for k, v in eng._k_perf.items()}
-        print("TIMERS", t, file=sys.stderr, flush=True)
+    rate = run_shape(n, args.warmup, args.steps, args.poly, args.uniq,
+                     timers_tag=f"n{n}")
     shape = ("ratio-3 polydisperse (80/20) 3-sphere clumps"
              if args.poly else "3-sphere clumps")
     cd = ("adaptive CD" if args.auto
           else f"CD every {args.update_freq}")
-    print(
-        json.dumps(
-            {
-                "metric": f"clump-steps/s/chip ({n} {shape}, "
-                f"Hertz-Mindlin+friction, {cd})",
-                "value": rate,
-                "unit": "clump-steps/s",
-                "vs_baseline": rate / BASELINE_PER_CHIP,
-            }
-        )
-    )
+    out = {
+        "metric": f"clump-steps/s/chip ({n} {shape}, "
+        f"Hertz-Mindlin+friction, {cd})",
+        "value": rate,
+        "unit": "clump-steps/s",
+        "vs_baseline": rate / BASELINE_PER_CHIP,
+    }
+    # the BASELINE.md metric shape is 1M clumps (reference README.md:48):
+    # report it alongside the 262k headline whenever the headline ran the
+    # default shape (VERDICT r3 weak #2)
+    if (on_tpu and not args.skip_1m and not args.poly and not args.n
+            and not args.uniq):
+        rate_1m = run_shape(1048576, 200, 100, False, 0,
+                            timers_tag="n1048576")
+        out["extra"] = {
+            "n1048576_cs_per_s": rate_1m,
+            "n1048576_vs_baseline": rate_1m / BASELINE_PER_CHIP,
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
