@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (this machine's "
                          "sitecustomize overrides JAX_PLATFORMS)")
-    ap.add_argument("--uniq", type=int, default=0,
+    ap.add_argument("--uniq", type=int, default=None,
                     help="unique-other-owner fetch capacity for the fused "
                          "pass (0 = direct per-contact gather)")
     ap.add_argument("--timers", action="store_true",
@@ -65,7 +65,7 @@ def main():
         cfg, state, params = _build_case(
             n_clumps=n_run, update_freq=args.update_freq,
             poly_frac=0.2 if poly else 0.0,
-            **({"uniq_cap": uniq} if uniq else {}),
+            **({"uniq_cap": uniq} if uniq is not None else {}),
         )
         eng = Engine(cfg)
         eng.auto_freq = args.auto
@@ -110,8 +110,8 @@ def main():
     # report it alongside the 262k headline whenever the headline ran the
     # default shape (VERDICT r3 weak #2)
     if (on_tpu and not args.skip_1m and not args.poly and not args.n
-            and not args.uniq):
-        rate_1m = run_shape(1048576, 200, 100, False, 0,
+            and args.uniq is None):
+        rate_1m = run_shape(1048576, 200, 100, False, None,
                             timers_tag="n1048576")
         out["extra"] = {
             "n1048576_cs_per_s": rate_1m,

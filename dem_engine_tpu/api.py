@@ -665,6 +665,10 @@ class DEMSolver:
             v = Verbosity[v.upper()]
         self._verbosity = v
 
+    def _engine_log(self, level: str, msg: str):
+        if self._verbosity >= Verbosity[level]:
+            print(f"[dem_engine_tpu][{level}] {msg}", flush=True)
+
     def InstructBoxDomainDimension(self, x, y, z, dir_bounds: str = "none"):
         """Domain box sizes; world origin at the center (reference
         API.h:65-75)."""
@@ -1909,7 +1913,12 @@ class DEMSolver:
             use_fused_force=on_tpu and model.fused_variant is not None,
             ss_family_filter=not bool(np.all(self._family_mask)),
             cd_two_class=two_class,
-            uniq_cap=(getattr(self, "_uniq_cap", 0)
+            # default ON at 512 (round-4 hardware A/B at 262k clumps:
+            # 96.6 ms/step vs 102.4 direct — the unique gather is ~2.7x
+            # cheaper than the per-contact one and the one-hot expansion
+            # costs back about half of that); the OVF_UNIQ ladder doubles
+            # it on overflow and reverts to the direct gather past 2048
+            uniq_cap=(getattr(self, "_uniq_cap", 512)
                       if (on_tpu and model.fused_variant is not None)
                       else 0),
         )
@@ -1919,6 +1928,12 @@ class DEMSolver:
         self.engine.auto_freq = getattr(self, "_adaptive_freq", False)
         self.engine.max_freq = getattr(self, "_max_update_freq", None)
         self.engine.auto_bin = getattr(self, "_use_adaptive_bin", False)
+        # route engine degrade/adaptation events through the verbosity sink
+        # (reference leveled STEP_METRIC/ANOMALY diagnostics,
+        # Structs.h:278-365): WARNING-level strategy losses always surface
+        # at default verbosity; per-event growth metrics only at
+        # STEP_METRIC and above
+        self.engine.log = self._engine_log
         self._rebuild_params()
         self._initialized = True
         if getattr(self, "_init_bin_size", None):
@@ -2982,6 +2997,31 @@ class DEMSolver:
                f"{[(f, round(v*1e3, 3)) for f, v in sorted(self.engine._bin_perf.items())]} ms/step"
                if self.engine.auto_bin else "")
         )
+        if getattr(self, "_stage_timings", None):
+            from .profiling import format_stages
+
+            print(format_stages(self._stage_timings))
+
+    def ProfileStageTimings(self, reps: int = 2):
+        """Measure and print the per-stage named timers (the reference's
+        SolverTimers table, kT.h:204-206 / dT.h:294-297): Discretize
+        domain, Find contact pairs, Build history map, Calculate contact
+        forces, Optional force reduction, Integration, plus the
+        TPU-specific Finalize-tables stage. Unlike the reference — which
+        accumulates these around every kernel launch — stages here are
+        measured on demand by timing prefix programs of the fused
+        refresh/step pipelines (everything hot runs as one XLA program, so
+        there is no per-stage boundary to instrument in production).
+        Returns the {stage: ms} dict and prints the table."""
+        if not self._initialized:
+            raise RuntimeError("Initialize() first")
+        from .profiling import format_stages, profile_stages
+
+        stages = profile_stages(self.engine, self.state, self.params,
+                                reps=reps)
+        self._stage_timings = stages
+        print(format_stages(stages))
+        return stages
 
     def ClearTimingStats(self):
         self._timers = {"refresh": 0.0, "steps": 0.0, "total": 0.0}

@@ -127,21 +127,34 @@ def build_sphere_table(pos, reach, owner, family, bin_size, nb, pad_to,
             [sorted_bin, jnp.full((pad,), _SENTINEL_BIN, I)]
         )
         order = jnp.concatenate([order, jnp.full((pad,), S, I)])
-    take = partial(jnp.take, indices=jnp.minimum(order, S - 1), axis=0)
+    # ONE packed row gather through the sort order (separate width-1 f32
+    # gathers cost ~13-15 ns/row each on this TPU; a packed i16-bitcast
+    # row gather is ~5 ns/row total — stage-G refresh bisect, round 4)
+    from .forces import gather_rows
+
+    src = jnp.concatenate(
+        [
+            pos,
+            reach[:, None],
+            owner.astype(F)[:, None],
+            family.astype(F)[:, None],
+            idx3.astype(F),
+        ]
+        + ([member.astype(F)[:, None]] if member is not None else []),
+        axis=1,
+    )
+    g = gather_rows(src, jnp.minimum(order, S - 1))
     ok = order < S
     if member is not None:
         # excluded spheres are full padding: id -> S so they never act as
         # sweep rows, sentinel bin so they are never candidates
-        ok = ok & jnp.take(
-            jnp.concatenate([member, jnp.zeros((1,), bool)]),
-            jnp.minimum(order, S), axis=0,
-        )
+        ok = ok & (g[:, 9] > 0.5)
     rec = jnp.concatenate(
         [
-            take(pos),
-            jnp.where(ok, take(reach), -1e30)[:, None],
-            jnp.where(ok, take(owner), -1).astype(F)[:, None],
-            jnp.where(ok, take(family), 0).astype(F)[:, None],
+            g[:, 0:3],
+            jnp.where(ok, g[:, 3], -1e30)[:, None],
+            jnp.where(ok, g[:, 4], -1.0)[:, None],
+            jnp.where(ok, g[:, 5], 0.0)[:, None],
             jnp.where(ok, order, S).astype(F)[:, None],
         ],
         axis=1,
@@ -149,7 +162,7 @@ def build_sphere_table(pos, reach, owner, family, bin_size, nb, pad_to,
     # padding rows get the top-corner bin: their sorted position (after the
     # sentinel sort key) then stays consistent with a maximal bin index, so
     # per-tile coarse window ends in the Pallas sweep bound real rows
-    sidx3 = jnp.where(ok[:, None], take(idx3), nb[None, :] - 1)
+    sidx3 = jnp.where(ok[:, None], g[:, 6:9].astype(I), nb[None, :] - 1)
 
     # max bin occupancy via run-length over the sorted bins
     k = jnp.arange(pad_to, dtype=I)
@@ -459,17 +472,61 @@ def find_pairs_st(aabb_min, aabb_max, tri_owner, tri_family, tab: SphereBinTable
     ).reshape(-1, 3)[:, ::-1]  # (sp^3, 3) in (x,y,z) minor-to-major
     g = jnp.asarray(np.ascontiguousarray(g), I)
 
+    # ---- stage 1: precise triangle binning -------------------------------
+    # A large inclined facet's AABB covers O(span^3) bins but its
+    # slab-expanded plane crosses only O(span^2) of them. The reference
+    # prunes with extruded sandwich prisms + a SAT triangle-box test per
+    # enumerated bin (DEMBinTriangleKernels.cu:22,
+    # DEMTriangleBoxIntersect.cu); the TPU-native equivalent is cheap
+    # elementwise math over the (T, span^3) candidate grid — keep a bin
+    # iff its center lies within (half-diagonal + max sphere reach +
+    # tri margin) of the triangle's PLANE — followed by an
+    # output-proportional compaction, so the expensive per-slot sphere
+    # scan in stage 2 runs only over bins the facet truly crosses.
     tgt3 = lo3[:, None, :] + g[None, :, :]                     # (T,sp3,3)
     okk = jnp.all(g[None] < span3[:, None, :], axis=-1) & jnp.all(
         tgt3 < nb[None, None, :], axis=-1
     )
-    tgt = jnp.where(okk, flat_bin(tgt3, nb), -2)
+    if nodes is not None:
+        nrm = jnp.cross(nodes[:, 1] - nodes[:, 0], nodes[:, 2] - nodes[:, 0])
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-30)
+        # bins anchor at coordinate 0 (bin_index_3d: floor(pos/bs))
+        ctr = (tgt3.astype(F) + 0.5) * bin_size                # (T,sp3,3)
+        pd = jnp.abs(
+            jnp.sum(ctr * nrm[:, None, :], axis=-1)
+            - jnp.sum(nodes[:, 0] * nrm, axis=-1)[:, None]
+        )
+        # any sphere's reach <= bin_size/2 by construction (build_grid);
+        # half-diagonal covers the worst center-offset inside the bin
+        thr = (0.5 * np.sqrt(3.0) + 0.5) * bin_size
+        if tri_margin is not None:
+            thr = thr + tri_margin[:, None]
+        okk &= pd <= thr
 
-    starts = jnp.searchsorted(tab.sorted_bin, tgt)             # (T,sp3)
-    ends = jnp.searchsorted(tab.sorted_bin, tgt, side="right")
-    slots = starts[..., None] + jnp.arange(mpb, dtype=I)       # (T,sp3,mpb)
+    # compact surviving (tri, bin) pairs to a span^2-scaled capacity
+    tb_cap = int(min(max(T, 1) * sp * sp * sp,
+                     max(4096, 6 * max(T, 1) * sp * sp)))
+    tgt_all = jnp.where(okk, flat_bin(tgt3, nb), -2).reshape(-1)
+    tri_all = jnp.broadcast_to(
+        jnp.arange(T, dtype=I)[:, None], okk.shape).reshape(-1)
+    tb_bin = jnp.full((tb_cap,), -2, I)
+    tb_tri = jnp.full((tb_cap,), 0, I)
+    (tb_bin, tb_tri), tb_total = _compact(
+        okk.reshape(-1), (tgt_all, tri_all), tb_cap,
+        jnp.zeros((), I), (tb_bin, tb_tri),
+    )
+    # an overflow walks the same ladder as an over-span AABB (the engine
+    # grows max_span, which also grows tb_cap, and finally flips to the
+    # brute-force O(S*T) path)
+    span_overflow |= tb_total > tb_cap
+
+    # ---- stage 2: per-slot sphere scan over surviving bins ----------------
+    starts = jnp.searchsorted(tab.sorted_bin, tb_bin)          # (tb,)
+    ends = jnp.searchsorted(tab.sorted_bin, tb_bin, side="right")
+    slots = starts[:, None] + jnp.arange(mpb, dtype=I)         # (tb,mpb)
     slots_c = jnp.minimum(slots, spad - 1)
-    valid = (slots < ends[..., None]) & (slots < spad)
+    valid = (slots < ends[:, None]) & (slots < spad)
 
     crec = tab.rec[slots_c]
     cpos = crec[..., 0:3]
@@ -478,8 +535,12 @@ def find_pairs_st(aabb_min, aabb_max, tri_owner, tri_family, tab: SphereBinTable
     cfam = crec[..., 5].astype(I)
     cid = crec[..., 6].astype(I)
 
+    # per-candidate triangle data: row gathers over the compacted pairs
+    t_amin = aabb_min[tb_tri][:, None, :]
+    t_amax = aabb_max[tb_tri][:, None, :]
+
     # coarse test: sphere center within reach of the tri AABB
-    clamped = jnp.clip(cpos, aabb_min[:, None, None, :], aabb_max[:, None, None, :])
+    clamped = jnp.clip(cpos, t_amin, t_amax)
     d = cpos - clamped
     d2 = jnp.sum(d * d, axis=-1)
     hit = valid & (d2 < cre * cre)
@@ -487,20 +548,18 @@ def find_pairs_st(aabb_min, aabb_max, tri_owner, tri_family, tab: SphereBinTable
         # exact narrow candidate test: distance to the triangle itself
         from . import narrowphase
 
+        tn = nodes[tb_tri]                                     # (tb,3,3)
         closest = narrowphase.closest_point_triangle(
-            cpos, nodes[:, None, None, 0], nodes[:, None, None, 1],
-            nodes[:, None, None, 2],
+            cpos, tn[:, None, 0], tn[:, None, 1], tn[:, None, 2],
         )
         dt2 = jnp.sum((cpos - closest) ** 2, axis=-1)
-        rr = cre + (tri_margin[:, None, None] if tri_margin is not None
+        rr = cre + (tri_margin[tb_tri][:, None] if tri_margin is not None
                     else 0.0)
         hit &= dt2 < rr * rr
-    hit &= cown != tri_owner[:, None, None]
-    hit &= fam_mask_flat[cfam * 256 + tri_family[:, None, None]]
+    hit &= cown != tri_owner[tb_tri][:, None]
+    hit &= fam_mask_flat[cfam * 256 + tri_family[tb_tri][:, None]]
 
-    tri_ids = jnp.broadcast_to(
-        jnp.arange(T, dtype=I)[:, None, None], hit.shape
-    ).reshape(-1)
+    tri_ids = jnp.broadcast_to(tb_tri[:, None], hit.shape).reshape(-1)
     outA = jnp.full((cap,), -1, I)
     outB = jnp.full((cap,), -1, I)
     (outA, outB), total = _compact(

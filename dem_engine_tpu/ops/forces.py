@@ -217,34 +217,98 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
     live0 = table.idA >= 0
     jA = jnp.where(live0, table.idA, 0)
     jB = jnp.where(live0, table.idB, 0)
-    own_a0 = jnp.where(live0, spheres.owner[jA], -1)
-    own_b0 = jnp.where(live0, src_b.owner[jB], -1)
 
     wc_names = sorted(table.wildcards)
+    n_wc = len(wc_names)
+
+    # ---- gather-packing (SS tables) ---------------------------------------
+    # Separate width-1 f32/i32 gathers cost ~13-15 ns/row EACH at cap rows
+    # on this TPU; packed i16-bitcast row gathers are ~5 ns/row at any
+    # width <= 16 (CLAUDE.md primitive costs). The round-3 finalize spent
+    # ~0.5 s/refresh at 262k in exactly such gathers (stage-G bisect), so
+    # the SS path packs: (a) a per-SPHERE record gathered once per side,
+    # (b) one permutation gather carrying every per-contact column through
+    # the owner sort, (c) a premixed per-material-PAIR table.
+    if kind == "ss":
+        srec = jnp.concatenate(
+            [
+                spheres.owner.astype(F)[:, None],
+                spheres.radius[:, None],
+                spheres.relpos,
+                spheres.mat.astype(F)[:, None],
+                owners.mass[spheres.owner][:, None],
+                jnp.zeros((spheres.n, 1), F),
+            ],
+            axis=1,
+        )                                            # (S, 8)
+        ra0 = gather_rows(srec, jA)
+        rb0 = gather_rows(srec, jB)
+        own_a0 = jnp.where(live0, ra0[:, 0].astype(I), -1)
+        own_b0 = jnp.where(live0, rb0[:, 0].astype(I), -1)
+    else:
+        ra0 = rb0 = None
+        own_a0 = jnp.where(live0, spheres.owner[jA], -1)
+        own_b0 = jnp.where(live0, src_b.owner[jB], -1)
+
     key = jnp.where(live0, own_a0, _I32MAX)
     # secondary key own_b: within an owner's run, rows ordered by the
     # other side's owner — the unique-other fetch (uniq_cap) needs
     # same-other rows adjacent, and the order is otherwise free
     key2 = jnp.where(live0, own_b0, _I32MAX)
-    ops = (key, key2, table.idA, table.idB, table.persist, own_a0,
-           own_b0) + tuple(table.wildcards[k] for k in wc_names)
-    sorted_ops = jax.lax.sort(ops, num_keys=2)
-    idA = sorted_ops[2]
-    idB = sorted_ops[3]
-    persist = sorted_ops[4]
-    own_a = sorted_ops[5]
-    own_b = sorted_ops[6]
-    wildcards = dict(zip(wc_names, sorted_ops[7:]))
+    if kind == "ss":
+        # permutation sort + ONE packed row gather (integer columns ride
+        # as f32 — exact below 2^24, which bounds sphere/owner counts)
+        _, _, perm = jax.lax.sort(
+            (key, key2, jnp.arange(cap, dtype=I)), num_keys=2
+        )
+        big = jnp.concatenate(
+            [
+                table.idA.astype(F)[:, None],
+                table.idB.astype(F)[:, None],
+                table.persist.astype(F)[:, None],
+                own_a0.astype(F)[:, None],
+                own_b0.astype(F)[:, None],
+            ]
+            + [table.wildcards[k][:, None] for k in wc_names]
+            + [ra0[:, 1:7], rb0[:, 1:7]],
+            axis=1,
+        )                                            # (cap, 17+n_wc)
+        bsr = gather_rows(big, perm)
+        idA = bsr[:, 0].astype(I)
+        idB = bsr[:, 1].astype(I)
+        persist = bsr[:, 2].astype(I)
+        own_a = bsr[:, 3].astype(I)
+        own_b = bsr[:, 4].astype(I)
+        wildcards = {
+            k: bsr[:, 5 + i] for i, k in enumerate(wc_names)
+        }
+        ra = bsr[:, 5 + n_wc:11 + n_wc]   # radius relpos3 mat mass
+        rb = bsr[:, 11 + n_wc:17 + n_wc]
+        live = idA >= 0
+        mat_a = jnp.where(live, ra[:, 4].astype(I), 0)
+        mat_b = jnp.where(live, rb[:, 4].astype(I), 0)
+    else:
+        ops = (key, key2, table.idA, table.idB, table.persist, own_a0,
+               own_b0) + tuple(table.wildcards[k] for k in wc_names)
+        sorted_ops = jax.lax.sort(ops, num_keys=2)
+        idA = sorted_ops[2]
+        idB = sorted_ops[3]
+        persist = sorted_ops[4]
+        own_a = sorted_ops[5]
+        own_b = sorted_ops[6]
+        wildcards = dict(zip(wc_names, sorted_ops[7:]))
+        live = idA >= 0
+        mat_a = None
 
-    live = idA >= 0
     iA = jnp.where(live, idA, 0)
     iB = jnp.where(live, idB, 0)
-
-    # ---- statics ----------------------------------------------------------
-    mat_a = spheres.mat[iA]
-    mat_b = src_b.mat[iB]
+    if mat_a is None:
+        mat_a = spheres.mat[iA]
+        mat_b = src_b.mat[iB]
     oa = jnp.where(live, own_a, 0)
     ob = jnp.where(live, own_b, 0)
+
+    # ---- statics ----------------------------------------------------------
     statics = table.statics
     if not slim:
         statics = _build_statics(
@@ -253,15 +317,16 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
         )
 
     # ---- premixed material properties -------------------------------------
-    # (on slim/fused tables the dict is consumed by the fstat build below
-    # and NOT stored — the kernel reads effective moduli from fstat rows)
+    # (skipped entirely on slim/fused tables: the kernel reads effective
+    # moduli from fstat rows built from the pair table below)
     premix = {}
-    for name in model.per_material_props:
-        t = params.mat_props[name]
-        premix[name + ":a"] = t[mat_a]
-        premix[name + ":b"] = t[mat_b]
-    for name in model.pairwise_props:
-        premix[name] = params.pair_props[name][mat_a, mat_b]
+    if not slim:
+        for name in model.per_material_props:
+            t = params.mat_props[name]
+            premix[name + ":a"] = t[mat_a]
+            premix[name + ":b"] = t[mat_b]
+        for name in model.pairwise_props:
+            premix[name] = params.pair_props[name][mat_a, mat_b]
 
     # ---- B-side permutation ------------------------------------------------
     keyB = jnp.where(live, own_b, _I32MAX)
@@ -277,34 +342,44 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
     if fused:
         from ..defines import TINY_FLOAT
 
-        Ea, Eb = premix["E:a"], premix["E:b"]
-        nua, nub = premix["nu:a"], premix["nu:b"]
-        inv_E = (1.0 - nua * nua) / Ea + (1.0 - nub * nub) / Eb
-        E_eff = 1.0 / jnp.maximum(inv_E, TINY_FLOAT)
-        inv_G = (2.0 * (2.0 - nua) * (1.0 + nua) / Ea
-                 + 2.0 * (2.0 - nub) * (1.0 + nub) / Eb)
-        G_eff = 1.0 / jnp.maximum(inv_G, TINY_FLOAT)
-        zero = jnp.zeros((cap,), F)
-        # contact-major (cap, FSTAT_W) first: the B copy is then one
-        # bit-exact row gather through perm_b
-        fs_cm = jnp.stack(
+        # premix per material PAIR on a tiny (M, M) grid, then fetch with
+        # ONE packed row gather by pair id (replaces 7 width-1 gathers)
+        Em = params.mat_props["E"]
+        num = params.mat_props["nu"]
+        M = Em.shape[0]
+        Ea2, Eb2 = Em[:, None], Em[None, :]
+        nua2, nub2 = num[:, None], num[None, :]
+        inv_E2 = (1.0 - nua2 * nua2) / Ea2 + (1.0 - nub2 * nub2) / Eb2
+        E_eff2 = 1.0 / jnp.maximum(inv_E2, TINY_FLOAT)
+        inv_G2 = (2.0 * (2.0 - nua2) * (1.0 + nua2) / Ea2
+                  + 2.0 * (2.0 - nub2) * (1.0 + nub2) / Eb2)
+        G_eff2 = 1.0 / jnp.maximum(inv_G2, TINY_FLOAT)
+        zero2 = jnp.zeros((M, M), F)
+        ptab = jnp.stack(
             [
-                jnp.where(live, own_a.astype(F), -1.0),
-                spheres.radius[iA],
-                spheres.relpos[iA][:, 0],
-                spheres.relpos[iA][:, 1],
-                spheres.relpos[iA][:, 2],
-                spheres.relpos[iB][:, 0],
-                spheres.relpos[iB][:, 1],
-                spheres.relpos[iB][:, 2],
-                spheres.radius[iB],
-                owners.mass[oa],
-                owners.mass[ob],
-                E_eff,
-                G_eff,
-                premix["CoR"],
-                premix.get("mu", zero),
-                premix.get("Crr", zero),
+                E_eff2, G_eff2,
+                params.pair_props.get("CoR", zero2),
+                params.pair_props.get("mu", zero2),
+                params.pair_props.get("Crr", zero2),
+                zero2, zero2, zero2,
+            ],
+            axis=-1,
+        ).reshape(M * M, 8)
+        pr = gather_rows(ptab, mat_a * M + mat_b)    # (cap, 8)
+
+        # contact-major (cap, FSTAT_W) first: the B copy is then one
+        # bit-exact row gather through perm_b; all columns come from the
+        # packed records — no further cap-row scalar gathers
+        fs_cm = jnp.concatenate(
+            [
+                jnp.where(live, own_a.astype(F), -1.0)[:, None],
+                ra[:, 0:1],       # radius_a
+                ra[:, 1:4],       # relpos_a
+                rb[:, 1:4],       # relpos_b
+                rb[:, 0:1],       # radius_b
+                ra[:, 5:6],       # mass_a
+                rb[:, 5:6],       # mass_b
+                pr[:, 0:5],       # E_eff G_eff CoR mu Crr
             ],
             axis=1,
         )
@@ -318,12 +393,16 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
         # inside the last owner block's one-hot window)
         keyb = jnp.where(own_b_sorted < n_owners,
                          own_b_sorted.astype(F), -1.0)
-        fstat_b = fs_bT.at[0].set(keyb)
+        # own_a through the B permutation rides fs_bT's column 0 (it holds
+        # where(live, own_a, -1) pre-overwrite) — saves a width-1 gather;
+        # dead rows have own_b_sorted == n_owners, so the outer where
+        # matches the old where(live, own_a, 0)[perm_b] exactly
         own_a_b = jnp.where(own_b_sorted < n_owners,
-                            jnp.where(live, own_a, 0)[perm_b], 0)
+                            fs_bT[0].astype(I), 0)
+        fstat_b = fs_bT.at[0].set(keyb)
         wc_cm = jnp.stack(
             [wildcards[k] for k in wc_names]
-            + [zero] * (WCB_W - len(wc_names)),
+            + [jnp.zeros((cap,), F)] * (WCB_W - len(wc_names)),
             axis=1,
         )
         wcb = gather_rows_T(wc_cm, perm_b, chunk=lo_chunk)

@@ -30,18 +30,22 @@ from ..state import ContactTable
 
 def _merge_match(old_idA, old_idB, new_idA, new_idB):
     """For each new slot: index of the old slot with equal (idA, idB), or -1.
-    Also returns, for each old slot, whether it was matched by a new slot."""
+    Also returns, for each old slot, whether it was matched by a new slot.
+
+    TPU cost note: results are carried back to slot order by a second sort
+    on the original concat position (~3-5 ns/row) instead of the two
+    2·cap-row scatters this used to do (~10-18 ns/row each, CLAUDE.md
+    primitive costs). The concat position also subsumes the old tag/slot
+    sort operands: old rows sit before new rows among equal (idA, idB)
+    keys because their positions are smaller, and each key occurs at most
+    once per table."""
     n_old = old_idA.shape[0]
     n_new = new_idA.shape[0]
     a = jnp.concatenate([old_idA, new_idA])
     b = jnp.concatenate([old_idB, new_idB])
-    tag = jnp.concatenate(
-        [jnp.zeros((n_old,), I), jnp.ones((n_new,), I)]
-    )
-    slot = jnp.concatenate(
-        [jnp.arange(n_old, dtype=I), jnp.arange(n_new, dtype=I)]
-    )
-    sa, sb, stag, sslot = jax.lax.sort((a, b, tag, slot), num_keys=3)
+    pos = jnp.arange(n_old + n_new, dtype=I)
+    sa, sb, spos = jax.lax.sort((a, b, pos), num_keys=2)
+    sold = spos < n_old  # old-table rows keep their slot as position
 
     prev_eq = jnp.concatenate(
         [
@@ -49,27 +53,23 @@ def _merge_match(old_idA, old_idB, new_idA, new_idB):
             (sa[1:] == sa[:-1]) & (sb[1:] == sb[:-1]),
         ]
     )
-    prev_old = jnp.concatenate([jnp.zeros((1,), bool), stag[:-1] == 0])
-    matched_here = (stag == 1) & prev_eq & prev_old
-    partner = jnp.concatenate([jnp.zeros((1,), I), sslot[:-1]])
-
-    # scatter back to new-slot space
-    new_ids = jnp.where(stag == 1, sslot, n_new)
-    mapping = (
-        jnp.full((n_new,), -1, I)
-        .at[new_ids]
-        .set(jnp.where(matched_here, partner, -1), mode="drop")
-    )
+    prev_old = jnp.concatenate([jnp.zeros((1,), bool), sold[:-1]])
+    matched_here = (~sold) & prev_eq & prev_old
+    partner = jnp.concatenate([jnp.zeros((1,), I), spos[:-1]])
+    match_val = jnp.where(matched_here, partner, -1)
 
     # old matched mask: an old entry is matched iff its successor is an
     # equal-key new entry
     next_eq = jnp.concatenate([prev_eq[1:], jnp.zeros((1,), bool)])
-    next_new = jnp.concatenate([stag[1:] == 1, jnp.zeros((1,), bool)])
-    old_hit_here = (stag == 0) & next_eq & next_new
-    old_ids = jnp.where(stag == 0, sslot, n_old)
-    old_matched = (
-        jnp.zeros((n_old,), bool).at[old_ids].set(old_hit_here, mode="drop")
+    next_new = jnp.concatenate([~sold[1:], jnp.zeros((1,), bool)])
+    old_hit_here = sold & next_eq & next_new
+
+    # un-sort: one position-keyed sort carries both outputs home
+    _, mv, oh = jax.lax.sort(
+        (spos, match_val, old_hit_here.astype(I)), num_keys=1
     )
+    mapping = mv[n_old:]
+    old_matched = oh[:n_old].astype(bool)
     return mapping, old_matched
 
 
@@ -90,20 +90,32 @@ def carry_history(
     a padding "match" can only map padding→padding, which carries zeros and
     is masked by `live` anyway.
     """
+    from .forces import gather_rows
+
     cap = new_idA.shape[0]
     mapping, old_matched = _merge_match(old.idA, old.idB, new_idA, new_idB)
     live = new_idA >= 0
     matched = live & (mapping >= 0)
     safe_map = jnp.where(matched, mapping, 0)
 
-    def gather_wc(name):
-        src = old.wildcards.get(name)
-        if src is None:
-            return jnp.zeros((cap,), F)
-        return jnp.where(matched, src[safe_map], 0.0)
-
-    wildcards = {k: gather_wc(k) for k in wildcard_names}
-    persist = jnp.where(matched, old.persist[safe_map], 0)
+    # ONE packed row gather for all carried per-contact fields: separate
+    # width-1 f32 gathers cost ~13-15 ns/row each on this TPU while a
+    # packed i16-bitcast row gather is ~5 ns/row total (CLAUDE.md
+    # primitive costs — this was ~360 ms of the 262k refresh as 5
+    # scalar gathers, stage-G bisect round 4)
+    src_cols = [
+        old.wildcards.get(k) if old.wildcards.get(k) is not None
+        else jnp.zeros((old.cap,), F)
+        for k in wildcard_names
+    ]
+    packed = jnp.stack(
+        src_cols + [old.persist.astype(F)], axis=1)   # (cap_old, n_wc+1)
+    rows = gather_rows(packed, safe_map)               # (cap, n_wc+1)
+    wildcards = {
+        k: jnp.where(matched, rows[:, i], 0.0)
+        for i, k in enumerate(wildcard_names)
+    }
+    persist = jnp.where(matched, rows[:, len(wildcard_names)].astype(I), 0)
 
     # lost-contact sentry: history silently dropped?
     old_live = old.idA >= 0

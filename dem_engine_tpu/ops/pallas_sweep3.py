@@ -202,15 +202,22 @@ def sweep_v3(rec_T, bases, spad, interpret=False, tile=None, win=None):
 
 
 def _kth_set_bit(word, k):
-    """Position of the k-th (0-based) set bit of each i32 word (k < 32)."""
+    """Position of the k-th (0-based) set bit of each i32 word (k < 32).
+
+    Binary descent on low-half popcounts: 5 steps instead of the naive
+    31-step clear-lowest-bit loop (this runs per decoded PAIR — ~6x fewer
+    vector ops on a cap-sized array)."""
     w = word
     kk = k
-    for _ in range(31):
-        clear = kk > 0
-        w = jnp.where(clear, w & (w - 1), w)
-        kk = jnp.maximum(kk - 1, 0)
-    lsb = w & (-w)
-    return jax.lax.population_count(lsb - 1)
+    pos = jnp.zeros_like(word)
+    for shift in (16, 8, 4, 2, 1):
+        low = w & ((1 << shift) - 1)
+        c = jax.lax.population_count(low)
+        go_hi = kk >= c
+        kk = jnp.where(go_hi, kk - c, kk)
+        w = jnp.where(go_hi, jax.lax.shift_right_logical(w, shift), low)
+        pos = pos + jnp.where(go_hi, shift, 0)
+    return pos
 
 
 def decode_hits(out, order, cap, spad):
@@ -244,7 +251,13 @@ def decode_hits(out, order, cap, spad):
         [masks, sts, starts_excl[:, None], order[:, None].astype(I)],
         axis=1,
     )                                                          # (spad, 17)
-    g = info[row_c]                                            # ONE gather
+    # i16-bitcast row gather (bit-exact i32 round trip): a plain i32 row
+    # gather costs ~13-15 ns/row at cap rows, the bitcast one ~5 ns/row
+    from .forces import gather_rows
+
+    g = jax.lax.bitcast_convert_type(
+        gather_rows(jax.lax.bitcast_convert_type(info, jnp.float32),
+                    row_c), I)
     k = p - g[:, 15]
 
     words = g[:, 0:10]
@@ -265,7 +278,11 @@ def decode_hits(out, order, cap, spad):
     slot_b = st + m
     slot_a = row_c
     idA0 = g[:, 16]
-    idB0 = order[jnp.clip(slot_b, 0, spad - 1)]
+    idB0 = jax.lax.bitcast_convert_type(
+        gather_rows(
+            jax.lax.bitcast_convert_type(order[:, None], jnp.float32),
+            jnp.clip(slot_b, 0, spad - 1),
+        ), I)[:, 0]
     lo = jnp.minimum(idA0, idB0)
     hi = jnp.maximum(idA0, idB0)
     idA = jnp.where(valid, lo, -1)

@@ -620,6 +620,11 @@ class Engine:
         self.cfg = cfg
         self.mesh = mesh
         self.fuse = fuse  # chunks per fused dispatch (amortizes latency)
+        #: optional callable(level_name, msg) set by the API layer; routes
+        #: engine degrade/adaptation events to the user's verbosity sink
+        #: (the role of the reference's leveled STEP_ANOMALY/STEP_METRIC
+        #: diagnostics, Structs.h:278-365)
+        self.log = None
         # adaptive CD cadence (reference AccumStepUpdater, dT.h:721-753,
         # dT.cpp:2276-2299): measure wall seconds/step per K between fused
         # superchunks, walk the ladder toward the cheapest K
@@ -726,11 +731,21 @@ class Engine:
             self._step_cache[key] = fn
         return fn
 
+    def _emit(self, level, msg):
+        if self.log is not None:
+            self.log(level, msg)
+
     def _note_sweep_disable(self):
         self.timers["sweep_disables"] += 1
         self._sweep_disabled_occ = True
         self._sweep_probe_at = self._cd_epochs + self._sweep_backoff
         self._sweep_backoff = min(self._sweep_backoff * 2, 4096)
+        self._emit(
+            "WARNING",
+            "Pallas CD sweep disabled (bin occupancy too high for its "
+            "run windows); falling back to the XLA slot sweep and "
+            f"re-probing after {self._sweep_backoff // 2} CD epochs",
+        )
 
     def _maybe_reenable_sweep(self):
         """Retry the Pallas sweep after a dense transient (exponential
@@ -808,12 +823,15 @@ class Engine:
             else:
                 changes["pallas_win"] = cfg.pallas_win * 2
         if ovf & OVF_TRI_BINS:
-            if cfg.max_tri_span >= 16:
+            if cfg.max_tri_span >= 32:
                 # span growth exhausted (domain-spanning facets): exact
                 # brute-force ST candidates instead of bin enumeration
                 changes["st_bruteforce"] = True
             else:
-                changes["max_tri_span"] = min(cfg.max_tri_span * 2, 16)
+                # the two-stage ST sweep's slot scan scales with span^2
+                # (slab-filtered bins), not span^3, so the ladder can
+                # afford span 32 before giving up on the grid
+                changes["max_tri_span"] = min(cfg.max_tri_span * 2, 32)
         if ovf & OVF_XOCC:
             mx = int(cfg.cross_mpb * _GROWTH) + 8
             if mx > 2048:
@@ -840,6 +858,11 @@ class Engine:
                                    if cfg.uniq_cap < 2048 else 0)
         self.timers["grows"] += 1
         if changes:  # a bare bin_factor walk-back is traced: no recompile
+            lvl = ("WARNING" if any(
+                k in changes for k in ("st_bruteforce", "use_pallas_sweep"))
+                else "STEP_METRIC")
+            self._emit(lvl, f"capacity/strategy growth after overflow "
+                            f"0x{ovf:x}: {changes}")
             self.cfg = dataclasses.replace(cfg, **changes)
             self._build()
         ss = state.ss.grown(self.cfg.cap_ss)
@@ -870,9 +893,20 @@ class Engine:
             ("ss", cfg.cap_ss), ("st", cfg.cap_st), ("sa", cfg.cap_sa),
         ):
             cnt = int(getattr(state, attr).count)
+            # coarse quantum at scale: run-to-run count jitter must not
+            # change the chosen cap (each distinct cap is a fresh XLA
+            # program; the persistent compile cache only helps when two
+            # runs land on the SAME shapes)
             quantum = 512 if attr == "ss" else 256
+            quantum = max(quantum, 1 << max(0, cnt.bit_length() - 5))
             need = max(64, -(-int(cnt * 1.25 + 64) // quantum) * quantum)
-            if cap > 1.5 * need:
+            # threshold 1.4 (not lower): a growth lands at 1.6x the
+            # overflowed cap (<= 1.6x count), which must NOT immediately
+            # re-shrink or a rising count churns grow/shrink recompiles.
+            # Every per-slot step cost (gathers, kernel passes) scales with
+            # capacity, so the ~1.78x padding the old 1.5 threshold
+            # tolerated was ~25% of the whole step budget (round 4).
+            if cap > 1.4 * need:
                 changes["cap_" + attr] = need
         if not changes:
             return state
@@ -942,9 +976,12 @@ class Engine:
         else:
             return False
         self.timers["oom_degrades"] += 1
-        print(f"DEM OOM fallback: {changes} (device RESOURCE_EXHAUSTED; "
-              "retrying with a smaller working set)",
-              file=sys.stderr, flush=True)
+        msg = (f"DEM OOM fallback: {changes} (device RESOURCE_EXHAUSTED; "
+               "retrying with a smaller working set)")
+        if self.log is not None:
+            self.log("WARNING", msg)
+        else:  # losing this event silently would hide real degradation
+            print(msg, file=sys.stderr, flush=True)
         self.cfg = dataclasses.replace(cfg, **changes)
         self._build()
         return True
@@ -1027,11 +1064,20 @@ class Engine:
         mem = estimate_hbm_peak(state, self.cfg)
         if self.fuse > 1 and mem["peak"] > 0.15 * mem["hbm"]:
             self.fuse = 1
+            self._emit("STEP_METRIC",
+                       "superchunk fusion dropped to 1 chunk/dispatch "
+                       f"(HBM peak model {mem['peak']/2**30:.1f} GiB)")
         # at very large capacities even the single-chunk fused
         # refresh+scan program exceeds HBM (refresh transients on top of
         # the scan's double-buffered carry); run refresh and steps as
         # separate programs past ~55% of HBM
         fused_ok = mem["peak"] <= 0.55 * mem["hbm"]
+        if not fused_ok:
+            self._emit("WARNING",
+                       "capacity too large for the fused refresh+steps "
+                       "program; running refresh and steps as separate "
+                       f"dispatches (HBM peak model {mem['peak']/2**30:.1f}"
+                       f"/{mem['hbm']/2**30:.1f} GiB)")
         while fused_ok and n_steps - done >= self.fuse * k:
             self._maybe_reenable_sweep()
             params_k = params.replace(

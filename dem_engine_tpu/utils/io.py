@@ -66,7 +66,14 @@ def write_csv(path, columns: Dict[str, np.ndarray]):
 def write_table(path, columns: Dict[str, np.ndarray], fmt="csv"):
     """Format dispatch for the Write*File family (reference OUTPUT_FORMAT,
     API.h:1317-1354): "csv" or "binary"/"chpf" (compressed npz with the
-    same column names; load with np.load)."""
+    same column names; load with np.load).
+
+    On the ChPF stand-in: the reference's binary output is the external
+    ChPF library, an OFF-by-default cmake option fetched from gitlab at
+    build time (reference CMakeLists.txt:60-80) — its wire format is not
+    part of the reference tree, so there is no spec to be compatible
+    with here. npz is the documented binary format of this package:
+    self-describing, compressed, and loadable from any numpy."""
     fmt = getattr(fmt, "value", fmt)
     if str(fmt).lower() in ("binary", "chpf", "npz"):
         # write through a handle: np.savez_compressed APPENDS '.npz' to a

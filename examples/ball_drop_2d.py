@@ -54,7 +54,14 @@ def build(n=350, r=0.006, drop_h=0.08, ball_rad=0.04, h=1e-5,
     bv, bf = make_ball(radius=ball_rad)
     ball = dem.DEMMeshConnected(vertices=bv, faces=bf)
     ball.SetMaterial(mat)
-    m_ball = 7800 * 4 / 3 * np.pi * ball_rad**3  # steel ball
+    # ball density 3.5x the grains: heavy enough to crater, light enough
+    # that the one-particle-thick slab statically supports it. At steel
+    # density (7800) the 2.1 kg ball sits EXACTLY at the slab's load limit
+    # (a few contacts at ~10% overlap), and whether it punches through
+    # became machine-dependent float noise (round-4 bisect: the low-drop
+    # case tunneled bit-identically across three code revisions on one
+    # host but held on another).
+    m_ball = 3500 * 4 / 3 * np.pi * ball_rad**3
     ball.SetMass(m_ball)
     ib = 2 / 5 * m_ball * ball_rad**2
     ball.SetMOI([ib, ib, ib])
