@@ -1880,17 +1880,21 @@ class DEMSolver:
         # is ~10x a gather there); scatter wins on CPU where the tests run
         platform = jax.devices()[0].platform
         on_tpu = platform != "cpu"
-        # polydisperse beds (radius ratio > ~2.2 with real mass in both
+        # polydisperse beds (radius ratio > ~1.7 with real mass in both
         # classes) get the two-grid CD: single-grid occupancy grows as the
         # cube of the size ratio and knocks the CD onto slow paths
-        # (reference instead re-tunes one grid, kT.cpp:43-98)
+        # (reference instead re-tunes one grid, kT.cpp:43-98). 1.7: at the
+        # GRC mix's 1.87 ratio a max-reach bin already packs 20-50 small
+        # spheres — past the Pallas sweep's run windows, and the XLA
+        # fallback sweep at flagship scale (1.57M spheres, max_per_bin 80)
+        # crashed the TPU worker outright (round-4 stage I)
         radii = np.asarray(spheres.radius)
         self._cls_thr = 0.0
         two_class = False
         tc_user = getattr(self, "_cd_two_class", None)
         if radii.size and tc_user is not False:
             rmin, rmax = float(radii.min()), float(radii.max())
-            if rmin > 0 and rmax / rmin > 2.2:
+            if rmin > 0 and rmax / rmin > 1.7:
                 thr = float(np.sqrt(rmin * rmax))
                 frac = float(np.mean(radii <= thr))
                 if (0.05 < frac < 0.999) or tc_user:

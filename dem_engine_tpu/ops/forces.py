@@ -241,12 +241,15 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
             ],
             axis=1,
         )                                            # (S, 8)
-        ra0 = gather_rows(srec, jA)
-        rb0 = gather_rows(srec, jB)
-        own_a0 = jnp.where(live0, ra0[:, 0].astype(I), -1)
-        own_b0 = jnp.where(live0, rb0[:, 0].astype(I), -1)
+        # pre-sort we need ONLY the owner ids (sort keys): narrow packed
+        # gathers keep the transient small (the full records are fetched
+        # AFTER the sort — gather-then-permute == gather-by-permuted-ids,
+        # and skipping the pre-sort (cap, 8) copies saves ~1.5 GB of
+        # transient at the 1M-clump table cap)
+        so2 = srec[:, 0:2]
+        own_a0 = jnp.where(live0, gather_rows(so2, jA)[:, 0].astype(I), -1)
+        own_b0 = jnp.where(live0, gather_rows(so2, jB)[:, 0].astype(I), -1)
     else:
-        ra0 = rb0 = None
         own_a0 = jnp.where(live0, spheres.owner[jA], -1)
         own_b0 = jnp.where(live0, src_b.owner[jB], -1)
 
@@ -269,10 +272,9 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
                 own_a0.astype(F)[:, None],
                 own_b0.astype(F)[:, None],
             ]
-            + [table.wildcards[k][:, None] for k in wc_names]
-            + [ra0[:, 1:7], rb0[:, 1:7]],
+            + [table.wildcards[k][:, None] for k in wc_names],
             axis=1,
-        )                                            # (cap, 17+n_wc)
+        )                                            # (cap, 5+n_wc)
         bsr = gather_rows(big, perm)
         idA = bsr[:, 0].astype(I)
         idB = bsr[:, 1].astype(I)
@@ -282,9 +284,11 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
         wildcards = {
             k: bsr[:, 5 + i] for i, k in enumerate(wc_names)
         }
-        ra = bsr[:, 5 + n_wc:11 + n_wc]   # radius relpos3 mat mass
-        rb = bsr[:, 11 + n_wc:17 + n_wc]
         live = idA >= 0
+        # full per-sphere records fetched in SORTED order (no pre-sort
+        # copy): radius relpos3 mat mass
+        ra = gather_rows(srec, jnp.where(live, idA, 0))[:, 1:7]
+        rb = gather_rows(srec, jnp.where(live, idB, 0))[:, 1:7]
         mat_a = jnp.where(live, ra[:, 4].astype(I), 0)
         mat_b = jnp.where(live, rb[:, 4].astype(I), 0)
     else:
@@ -387,7 +391,18 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
         fs_cm = fs_cm.at[:, 0].set(jnp.where(live, own_a.astype(F), -1.0))
         fstat_a = fs_cm.T
         lo_chunk = _LAYOUT_CHUNK if cap >= _CHUNKED_LAYOUT_CAP else 0
-        fs_bT = gather_rows_T(fs_cm, perm_b, chunk=lo_chunk)
+        # ONE B-permutation pass for fstat + wildcards (one (cap, 20)
+        # T-gather instead of separate 16- and 4-wide ones)
+        wc_cm = jnp.stack(
+            [wildcards[k] for k in wc_names]
+            + [jnp.zeros((cap,), F)] * (WCB_W - len(wc_names)),
+            axis=1,
+        )
+        bothT = gather_rows_T(
+            jnp.concatenate([fs_cm, wc_cm], axis=1), perm_b,
+            chunk=lo_chunk)
+        fs_bT = bothT[:FSTAT_W]
+        wcb = bothT[FSTAT_W:]
         # the B layout reduces over own_b: its own_key is own_b_sorted
         # (dead -> -1, NOT n_owners: a dead key of n_owners could land
         # inside the last owner block's one-hot window)
@@ -400,12 +415,6 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
         own_a_b = jnp.where(own_b_sorted < n_owners,
                             fs_bT[0].astype(I), 0)
         fstat_b = fs_bT.at[0].set(keyb)
-        wc_cm = jnp.stack(
-            [wildcards[k] for k in wc_names]
-            + [jnp.zeros((cap,), F)] * (WCB_W - len(wc_names)),
-            axis=1,
-        )
-        wcb = gather_rows_T(wc_cm, perm_b, chunk=lo_chunk)
 
     uidx, uidx_b = table.uidx, table.uidx_b
     uniq_a, uniq_b = table.uniq_a, table.uniq_b

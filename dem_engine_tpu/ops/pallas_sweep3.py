@@ -260,21 +260,34 @@ def decode_hits(out, order, cap, spad):
                     row_c), I)
     k = p - g[:, 15]
 
-    words = g[:, 0:10]
-    pc = jax.lax.population_count(words)                       # (cap, 10)
-    cum = jnp.cumsum(pc, axis=1)
-    kcol = k[:, None]
-    w = jnp.sum((cum <= kcol).astype(I), axis=1)               # word index
-    kk = k - jnp.sum(jnp.where(cum <= kcol, pc, 0), axis=1)
-    wsel = jnp.sum(
-        jnp.where(jnp.arange(10, dtype=I)[None, :] == w[:, None],
-                  words, 0), axis=1)
+    # word/run selection as an unrolled loop with (cap,) carries: the
+    # vectorized (cap, 10) formulation materialized several 157 MB
+    # intermediates (popcounts, cumsums, broadcast compares) and decode
+    # was HBM-bound, not compute-bound. cum_j is nondecreasing in j, so
+    # `cum_j <= k` is a prefix property: w = popcount of the prefix, the
+    # selected word is the first j past it.
+    cum = jnp.zeros_like(k)
+    w = jnp.zeros_like(k)
+    ksub = jnp.zeros_like(k)
+    wsel = jnp.zeros_like(k)
+    selected = jnp.zeros(k.shape, bool)
+    for j in range(10):
+        wj = g[:, j]
+        pcj = jax.lax.population_count(wj)
+        cum = cum + pcj
+        le = cum <= k
+        w = w + le.astype(I)
+        ksub = ksub + jnp.where(le, pcj, 0)
+        sel_now = (~le) & (~selected)
+        wsel = jnp.where(sel_now, wj, wsel)
+        selected |= ~le
+    kk = k - ksub
     pos = _kth_set_bit(wsel, kk)
     run = w // 2
     m = (w % 2) * 32 + pos
-    st = jnp.sum(
-        jnp.where(jnp.arange(5, dtype=I)[None, :] == run[:, None],
-                  g[:, 10:15], 0), axis=1)
+    st = jnp.zeros_like(k)
+    for j in range(5):
+        st = jnp.where(run == j, g[:, 10 + j], st)
     slot_b = st + m
     slot_a = row_c
     idA0 = g[:, 16]

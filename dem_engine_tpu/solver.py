@@ -92,6 +92,47 @@ def sphere_margins(owners, spheres, params):
     return margin + params.family_extra_margin[fam], absv, raw
 
 
+def sphere_pos_margins(owners, spheres, params, voxel_size):
+    """Fused sphere_world_pos + sphere_margins through ONE packed
+    per-owner record gather (the separate implementations above do 7
+    width-1/3/4 f32 row gathers at sphere rows — 13-15 ns/row EACH on
+    this TPU; the packed i16-bitcast row fetch is ~5 ns/row total).
+    Voxel indices ride as raw i32 bit patterns so escaped bodies beyond
+    2^24 voxels stay exact. Returns (pos, margin, absv, raw_absv)."""
+    from .ops.forces import gather_rows
+
+    ex = params.family_extra_margin[owners.family]          # (N,) tiny
+    orec = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(owners.vox, F),
+            owners.loc,
+            owners.quat,
+            jnp.linalg.norm(owners.vel, axis=-1, keepdims=True),
+            jnp.linalg.norm(owners.omg, axis=-1, keepdims=True),
+            ex[:, None],
+            jnp.zeros((owners.n, 1), F),
+        ],
+        axis=1,
+    )                                                        # (N, 14)
+    rec = gather_rows(orec, spheres.owner)
+    vox = jax.lax.bitcast_convert_type(rec[:, 0:3], I)
+    base = voxel.decode_f32(vox, rec[:, 3:6], voxel_size)
+    pos = base + quat.rotate(rec[:, 6:10], spheres.relpos)
+
+    lin = rec[:, 10]
+    arm = jnp.linalg.norm(spheres.relpos, axis=-1) + spheres.radius
+    raw = lin + rec[:, 11] * arm
+    absv = jnp.minimum(raw, params.approx_max_vel)
+    t_drift = params.h * params.max_drift.astype(F)
+    g_mag = jnp.linalg.norm(params.gravity)
+    margin = (
+        (absv * params.expand_safety_multi + params.expand_safety_adder)
+        * t_drift
+        + 0.5 * g_mag * t_drift * t_drift
+    ) + rec[:, 12]
+    return pos, margin, absv, raw
+
+
 def owner_margin(owners, idx, arm, params):
     """Margin for a non-sphere owner (mesh/analytical), arm = lever length."""
     lin = jnp.linalg.norm(owners.vel[idx], axis=-1)
@@ -135,8 +176,8 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
     )
     wc_names = cfg.force_model.contact_wildcards
 
-    pos = sphere_world_pos(owners, spheres, vs)
-    margin, absv, raw_absv = sphere_margins(owners, spheres, params)
+    pos, margin, absv, raw_absv = sphere_pos_margins(
+        owners, spheres, params, vs)
     reach = spheres.radius + margin
     max_reach = reach.max()
     # uncapped |v| for the divergence guard (the reference reduces the raw
@@ -992,8 +1033,24 @@ class Engine:
         layout-dependent fields (statics/premix/fused layouts/uniq) come
         from a fresh empty table — the next refresh rebuilds them before
         anything reads them, but their SHAPES must already match or the
-        run_chunks scan carry rejects the state."""
+        run_chunks scan carry rejects the state.
+
+        The STALE layout buffers are freed (`.delete()`) before the fresh
+        ones are allocated: this runs while the device is already at the
+        OOM edge, and holding old+new fused layouts (~0.8 GB each at a
+        12M-contact cap) made the recovery itself RESOURCE_EXHAUSTED
+        (round-4 1M bench). Safe by the same contract — nothing reads
+        the old state's layout fields after this call."""
         from .initializer import empty_ss_table, ss_uniq_rows
+
+        for name in ("statics", "fstat_a", "fstat_b", "wcb", "own_a_b",
+                     "uidx", "uidx_b", "uniq_a", "uniq_b", "premix"):
+            for leaf in jax.tree_util.tree_leaves(getattr(state.ss, name)):
+                if hasattr(leaf, "delete"):
+                    try:
+                        leaf.delete()
+                    except Exception:
+                        pass
 
         fresh = empty_ss_table(self.cfg, state.ss.cap,
                                ss_uniq_rows(self.cfg, state.owners.n))
