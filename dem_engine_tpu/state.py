@@ -214,11 +214,36 @@ class ContactTable:
         return self.idA.shape[0]
 
     @staticmethod
+    def empty_layout(cap: int, premix_names: Tuple[str, ...] = (),
+                     fused: bool = False, slim: bool = False,
+                     uniq_rows: int = 0) -> dict:
+        """Just the LAYOUT-dependent fields (statics/premix/fused/uniq) as
+        a dict. Split out of empty() so an OOM-recovery relayout
+        (solver._relayout_ss) can swap layouts on a live table without
+        allocating the identity/history fields it is about to discard —
+        at a 12M-contact cap those are ~1.4 GB of dead transient on a
+        device that just RESOURCE_EXHAUSTED (round-4 1M bench)."""
+        fcap = cap if fused else 0
+        ucap = fcap if uniq_rows else 0
+        return dict(
+            statics=(jnp.zeros((0, cap), F) if (fused and slim) else
+                     jnp.zeros((STATIC_W, cap), F).at[0].set(-1.0)),
+            premix={k: jnp.zeros((cap,), F) for k in premix_names},
+            fstat_a=jnp.zeros((FSTAT_W, fcap), F).at[0].set(-1.0),
+            fstat_b=jnp.zeros((FSTAT_W, fcap), F).at[0].set(-1.0),
+            wcb=jnp.zeros((WCB_W, fcap), F),
+            own_a_b=jnp.zeros((fcap,), I),
+            uidx=jnp.zeros((ucap,), F),
+            uidx_b=jnp.zeros((ucap,), F),
+            uniq_a=jnp.zeros((uniq_rows,), I),
+            uniq_b=jnp.zeros((uniq_rows,), I),
+            uniq_max=jnp.zeros((), I),
+        )
+
+    @staticmethod
     def empty(cap: int, wildcard_names: Tuple[str, ...] = (),
               premix_names: Tuple[str, ...] = (), fused: bool = False,
               slim: bool = False, uniq_rows: int = 0) -> "ContactTable":
-        fcap = cap if fused else 0
-        ucap = fcap if uniq_rows else 0
         return ContactTable(
             idA=jnp.full((cap,), -1, I),
             idB=jnp.full((cap,), -1, I),
@@ -232,18 +257,8 @@ class ContactTable:
             own_b=jnp.full((cap,), -1, I),
             perm_b=jnp.arange(cap, dtype=I),
             own_b_sorted=jnp.full((cap,), 2**30, I),
-            statics=(jnp.zeros((0, cap), F) if (fused and slim) else
-                     jnp.zeros((STATIC_W, cap), F).at[0].set(-1.0)),
-            premix={k: jnp.zeros((cap,), F) for k in premix_names},
-            fstat_a=jnp.zeros((FSTAT_W, fcap), F).at[0].set(-1.0),
-            fstat_b=jnp.zeros((FSTAT_W, fcap), F).at[0].set(-1.0),
-            wcb=jnp.zeros((WCB_W, fcap), F),
-            own_a_b=jnp.zeros((fcap,), I),
-            uidx=jnp.zeros((ucap,), F),
-            uidx_b=jnp.zeros((ucap,), F),
-            uniq_a=jnp.zeros((uniq_rows,), I),
-            uniq_b=jnp.zeros((uniq_rows,), I),
-            uniq_max=jnp.zeros((), I),
+            **ContactTable.empty_layout(cap, premix_names, fused, slim,
+                                        uniq_rows),
         )
 
     def _resized(self, new_cap: int) -> "ContactTable":

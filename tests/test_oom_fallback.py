@@ -130,3 +130,47 @@ def test_uniq_fetch_dropped_before_fused_pass():
     assert eng._oom_degrade()
     assert not eng.cfg.use_fused_force
     assert not eng._oom_degrade()
+
+
+def test_relayout_oom_walks_to_next_rung():
+    """Round-4 1M-bench failure mode: the refresh OOMs, and the RECOVERY
+    relayout's own allocations OOM too (the device is at the edge). The
+    ladder must walk to the next rung (fused off -> tiny layout) instead
+    of propagating the second RESOURCE_EXHAUSTED."""
+    cfg, state, params = _case(use_fused_force=True, uniq_cap=64)
+    eng = Engine(cfg)
+
+    real_get = eng._get_refresh
+    fails = {"refresh": 1, "relayout": 1}
+
+    def failing_get(st, pp):
+        fn = real_get(st, pp)
+        if fails["refresh"]:
+            fails["refresh"] -= 1
+
+            def boom(*a):
+                raise _FakeOOM()
+            return boom
+        return fn
+
+    real_relayout = eng._relayout_ss
+
+    def failing_relayout(st):
+        if fails["relayout"]:
+            fails["relayout"] -= 1
+            raise _FakeOOM()
+        return real_relayout(st)
+
+    eng._get_refresh = failing_get
+    eng._relayout_ss = failing_relayout
+    out = eng.advance(state, params, 30, update_freq=10)
+    assert fails == {"refresh": 0, "relayout": 0}
+    # rung 1 (uniq off) was consumed by the refresh OOM, rung 2 (fused
+    # off) by the failed relayout
+    assert eng.cfg.uniq_cap == 0
+    assert not eng.cfg.use_fused_force
+
+    cfg2, state2, params2 = _case(use_fused_force=False)
+    ref = Engine(cfg2).advance(state2, params2, 30, update_freq=10)
+    np.testing.assert_allclose(np.asarray(out.owners.vel),
+                               np.asarray(ref.owners.vel), atol=1e-7)

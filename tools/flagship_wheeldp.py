@@ -59,27 +59,48 @@ def _domain_for(n):
 
 
 def build_prep(n, verbosity="INFO", h=5e-6):
-    lx, lz, side, depth, pitch = _domain_for(n)
+    """Overlap-FREE initial packing: one template per z-layer, xy pitch
+    scaled to that template's clump x-extent (the 3-sphere row spans
+    3.6*r along x and the clumps insert x-aligned), z gaps scaled to the
+    adjacent layers' radii. The first flagship attempts used one global
+    2.6*R_MEAN pitch — the 1.4x clumps started interpenetrated, the
+    released elastic energy blew per-bin occupancy past every CD ladder
+    and ultimately crashed the TPU worker (round-4 stages I/J)."""
+    lx, _, _, _, _ = _domain_for(n)
     s = dem.DEMSolver()
     s.SetVerbosity(verbosity)
-    s.InstructBoxDomainDimension(lx, lx, lz)
-    s.InstructBoxDomainBoundingBC("all")
     mat = s.LoadMaterial({"E": 1e8, "nu": 0.3, "CoR": 0.4, "mu": 0.5,
                           "Crr": 0.02})
-    tmpls = make_templates(s, mat)
+    # domain height comes from the actual stack below
     rng = np.random.default_rng(0)
-    xs = (np.arange(side) - (side - 1) / 2) * pitch
-    g = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 2)
+    scales = (0.75, 1.0, 1.4)
     pos = []
-    for k in range(depth):
-        z = -lz / 2 + 2 * R_MEAN + (k + 0.5) * pitch
-        layer = np.concatenate(
-            [g, np.full((g.shape[0], 1), z)], axis=1)
+    kind_seq = []
+    z = 0.0  # filled bottom-up; shifted into the domain at the end
+    r_prev = 0.0
+    total = 0
+    while total < n:
+        k = int(rng.integers(0, len(scales)))
+        r = R_MEAN * scales[k]
+        pitch = 3.9 * r  # > 3.6*r clump x-extent: no xy contact
+        side = max(1, int((lx - 0.08) / pitch))
+        xs = (np.arange(side) - (side - 1) / 2) * pitch
+        g = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 2)
+        m = min(g.shape[0], n - total)
+        g = g[:m] + rng.uniform(-0.1 * r, 0.1 * r, (m, 2))
+        z += 1.05 * (r_prev + r)  # no z contact with the layer below
+        layer = np.concatenate([g, np.full((m, 1), z)], axis=1)
         pos.append(layer)
-    pos = np.concatenate(pos)[:n]
-    pos[:, :2] += rng.uniform(-0.2 * R_MEAN, 0.2 * R_MEAN, (n, 2))
-    kinds = rng.integers(0, len(tmpls), size=n)
-    s.AddClumps([tmpls[k] for k in kinds], pos)
+        kind_seq += [k] * m
+        r_prev = r
+        total += m
+    pos = np.concatenate(pos)
+    lz = z + 40 * R_MEAN  # headroom for the settle
+    pos[:, 2] -= lz / 2 - 2 * R_MEAN
+    s.InstructBoxDomainDimension(lx, lx, lz)
+    s.InstructBoxDomainBoundingBC("all")
+    tmpls = make_templates(s, mat)
+    s.AddClumps([tmpls[k] for k in kind_seq], pos)
     s.SetInitTimeStep(h)
     s.SetGravitationalAcceleration([0, 0, -9.81])
     s.SetCDUpdateFreq(25)
