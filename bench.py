@@ -84,20 +84,19 @@ def main():
         state = eng.advance(state, params, warmup, args.update_freq)
         jax.block_until_ready(state.owners.vox)
         if auto:
-            # let the K ladder settle BEFORE timing: each proposal fires
-            # every 2 blocks, and a rung K is only explorable while the
-            # remaining span covers 2 fused blocks — so walk in spans big
-            # enough for the top rung, until the proposal is stable twice
-            last, stable = None, 0
-            for _ in range(10):
-                state = eng.advance(state, params, 2 * max(eng.K_LADDER),
-                                    args.update_freq)
+            # let the K ladder settle BEFORE timing. One LONG advance per
+            # settle pass: proposals fire every 2 blocks and a rung is
+            # only explorable while the remaining span covers 2 of its
+            # blocks, so a 20*max(K) span lets the ladder walk the whole
+            # way up within ONE call (each short call would instead pay
+            # an odd-remainder split-program compile at its tail)
+            span = 20 * max(eng.K_LADDER)
+            last = None
+            for _ in range(4):
+                state = eng.advance(state, params, span, args.update_freq)
                 if eng.active_freq == last:
-                    stable += 1
-                    if stable >= 2:
-                        break
-                else:
-                    last, stable = eng.active_freq, 0
+                    break
+                last = eng.active_freq
             jax.block_until_ready(state.owners.vox)
             # time a whole number of blocks at the settled cadence
             kk = eng.active_freq or args.update_freq
