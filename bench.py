@@ -188,6 +188,9 @@ def main():
             return float(s_.owners.vel.sum())
 
         # warmup: compiles + settles capacities + establishes contacts
+        # (a whole number of blocks — a remainder would compile the
+        # split-path refresh + run_steps programs just for the tail)
+        warmup = -(-warmup // freq) * freq
         state = eng.advance(state, params, warmup,
                             freq if pinned else args.update_freq)
         sync(state)
@@ -231,6 +234,32 @@ def main():
             sync(state)
             dt = min(dt, time.perf_counter() - t0)
         rate = n_run * steps / dt
+        # free this shape's device memory before the next shape runs in
+        # the SAME process: the retained state (~1-2 GB at 262k) plus the
+        # jit executables otherwise OOM the 1M extra (round-5 finding;
+        # round 4's 1M success was a standalone invocation)
+        cleanup = (state, eng)
+
+        def _free():
+            st_, eng_ = cleanup
+            for leaf in jax.tree_util.tree_leaves(st_):
+                if hasattr(leaf, "delete"):
+                    try:
+                        leaf.delete()
+                    except Exception:  # noqa: BLE001
+                        pass
+            eng_._step_cache.clear()
+            eng_._chunks_cache.clear()
+            eng_._refresh_jit = None
+            import gc
+
+            gc.collect()
+            try:
+                jax.clear_caches()
+            except Exception:  # noqa: BLE001
+                pass
+
+        run_shape.free_last = _free
         info = {
             "freq": int(freq),
             "ms_per_step": dt / steps * 1e3,
@@ -318,6 +347,7 @@ def main():
         if time.perf_counter() - T0 > 0.55 * args.budget:
             OUT["extra"]["n1048576_skipped"] = "wall-clock budget"
         else:
+            getattr(run_shape, "free_last", lambda: None)()
             # never let the extra shape kill the headline JSON: a 1M
             # failure is reported as data, not as a crash
             try:

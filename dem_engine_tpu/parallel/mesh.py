@@ -85,7 +85,13 @@ def state_shardings(state: SimState, mesh: Mesh, axis: str = "shard",
     return SimState(
         owners=jax.tree_util.tree_map(own_fn, state.owners),
         spheres=jax.tree_util.tree_map(shard0, state.spheres),
-        tris=jax.tree_util.tree_map(repl_fn, state.tris),
+        # triangles index-shard like spheres (divisible counts; small
+        # meshes fall back to replication per-leaf): the ST sweep's
+        # per-tri work — AABB bin enumeration, slab prefilter, slot scan
+        # — then partitions over devices instead of being replicated
+        # (VERDICT r4 #7). Analyticals stay replicated: a handful of
+        # planes/cylinders is cheaper than any exchange.
+        tris=jax.tree_util.tree_map(shard0, state.tris),
         anals=jax.tree_util.tree_map(repl_fn, state.anals),
         ss=jax.tree_util.tree_map(shard_tbl, state.ss),
         st=jax.tree_util.tree_map(shard_tbl, state.st),

@@ -617,6 +617,25 @@ def _is_device_oom(exc: Exception) -> bool:
     return "RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s
 
 
+#: fitted bytes per cap row for the uniq layout-build refresh transient
+#: (see estimate_hbm_peak): 2 layouts x (3-operand i32 sort in+out, rank
+#: cumsums, rank un-sort). Calibrated with _HBM_GATE against the two
+#: round-4 16-GB-chip points (262k/cap-3.1M with uniq FITS, 1M/cap-9.4M
+#: with uniq OOMs while completing without it).
+_UNIQ_REFRESH_BYTES = 72
+
+#: pre-dispatch gate: a projected peak above _HBM_GATE x device HBM walks
+#: the lossless degrade ladder (uniq off -> fused off) BEFORE dispatching
+#: and raises a polite RuntimeError if nothing is left to drop — the
+#: reference's in-kernel abort role (DEMContactKernels_SphereSphere.cu:
+#: 121-126); an execution-time OOM on this backend can crash the TPU
+#: worker instead of raising, wedging the relay ~10 min (round 4).
+#: Calibration (model GiB @ 16e9-byte HBM): 262k+uniq 4.93 pass;
+#: 1M+uniq 15.21 must FAIL; 1M-no-uniq 14.58 must PASS (it completes on
+#: the chip) => gate in (0.979, 1.021) x hbm; 0.99 splits it.
+_HBM_GATE = 0.99
+
+
 def estimate_hbm_peak(state: SimState, cfg: SolverConfig) -> Dict[str, float]:
     """Rough HBM peak model for the compiled programs (bytes).
 
@@ -645,6 +664,27 @@ def estimate_hbm_peak(state: SimState, cfg: SolverConfig) -> Dict[str, float]:
     # + finalize sort ((6+W) ops) + statics + fused-layout rebuild
     refresh_b = spad * 768 + cap * (100 + (4 + W) * 16 + (6 + W) * 8 + 160
                                     + layout_b)
+    uniq_b = 0.0
+    if cfg.uniq_cap and cfg.use_fused_force:
+        # unique-other layout build (_uniq_layout x 2 layouts): a
+        # 3-operand i32 sort of cap rows (in+out buffers), rank cumsums,
+        # the rank un-sort, and the per-block scatter. Fitted to the two
+        # measured 16-GB-chip points (round 4): 262k/cap-3.1M WITH uniq
+        # fits; 1M/cap-9.4M OOMs WITH uniq yet completes without it —
+        # so this term must carry that shape across the gate boundary.
+        uniq_b = cap * _UNIQ_REFRESH_BYTES
+        refresh_b += uniq_b
+    # XLA fallback sweep candidate slab (engaged when the Pallas sweep is
+    # disabled): chunk x 14 half-shell offsets x per-bin slots x
+    # (7 f32 candidate record). grow_for bounds cd_chunk when it grows
+    # max_per_bin, but a config that reaches here UN-chunked must be
+    # priced honestly — a 1.5M-sphere un-chunked slab is tens of GB and
+    # took the round-4 worker down instead of raising.
+    sweep_b = 0.0
+    if not cfg.use_pallas_sweep:
+        chunk_rows = cfg.cd_chunk if cfg.cd_chunk > 0 else spad
+        sweep_b = float(min(chunk_rows, spad)) * 14 * cfg.max_per_bin * 28
+        refresh_b += sweep_b
     # step: two other-side kinematic gathers + transposes + wildcard
     # double-buffers of both layouts + one-hot acc blocks
     step_b = cap * (64 * 2 + 32 * 2 + 32 * 2)
@@ -658,6 +698,8 @@ def estimate_hbm_peak(state: SimState, cfg: SolverConfig) -> Dict[str, float]:
         "state": float(state_b),
         "refresh_transient": float(refresh_b),
         "step_transient": float(step_b),
+        "uniq_transient": float(uniq_b),
+        "sweep_transient": float(sweep_b),
         "peak": float(total),
         "hbm": hbm,
     }
@@ -727,22 +769,7 @@ class Engine:
         }
         self._build()
 
-    #: SS capacity above which the unique-other-fetch layouts are dropped:
-    #: uniq adds two extra cap-row sorts + rank columns to the refresh
-    #: transient, and the measured 16 GB-chip boundary is between the 262k
-    #: shape (cap 3.1M, fits) and the 1M shape (cap 9.4M, OOMs with uniq,
-    #: completes fused without it at 2.18M c-s/s — round-4 hardware probe)
-    UNIQ_CAP_LIMIT = 6 * 1024 * 1024
-
     def _build(self):
-        if self.cfg.uniq_cap and self.cfg.cap_ss > self.UNIQ_CAP_LIMIT:
-            self._emit(
-                "WARNING",
-                f"disabling unique-other fetch (cap_ss {self.cfg.cap_ss} "
-                f"> {self.UNIQ_CAP_LIMIT}): its refresh transient does "
-                "not fit HBM at this capacity",
-            )
-            self.cfg = dataclasses.replace(self.cfg, uniq_cap=0)
         self._refresh_jit = None
         self._step_cache: Dict[tuple, callable] = {}
         self._chunks_cache: Dict[tuple, callable] = {}
@@ -1007,6 +1034,37 @@ class Engine:
             sa=state.sa.shrunk(self.cfg.cap_sa),
         )
 
+    def _enforce_hbm(self, state: SimState) -> SimState:
+        """Model-driven pre-dispatch overload guard (VERDICT r4 #4/#8):
+        while the projected HBM peak exceeds _HBM_GATE x device HBM, walk
+        the lossless degrade ladder (uniq-fetch off, then the fused force
+        layouts off — _oom_degrade's rungs) and relayout the state; if
+        nothing is left to drop, raise a polite RuntimeError instead of
+        dispatching a program that would take the TPU worker down. This
+        replaces the round-4 UNIQ_CAP_LIMIT constant: the uniq gate
+        decision now comes from the priced uniq transient."""
+        for _ in range(4):
+            mem = estimate_hbm_peak(state, self.cfg)
+            if mem["peak"] <= _HBM_GATE * mem["hbm"]:
+                return state
+            detail = (f"projected HBM peak {mem['peak']/2**30:.1f} GiB > "
+                      f"{_HBM_GATE:.2f} x {mem['hbm']/2**30:.1f} GiB")
+            if not self._oom_degrade(reason="pre-dispatch HBM peak model"):
+                raise RuntimeError(
+                    "working set exceeds device HBM even with every "
+                    f"optional layout dropped ({detail}; cap_ss="
+                    f"{self.cfg.cap_ss}, spheres={state.spheres.n}, "
+                    f"max_per_bin={self.cfg.max_per_bin}, cd_chunk="
+                    f"{self.cfg.cd_chunk}). The simulation has likely "
+                    "diverged or the shape is too large for one chip — "
+                    "shrink the problem, shard over a mesh, or check the "
+                    "time step / SetMaxVelocity."
+                )
+            self._emit("STEP_METRIC",
+                       f"pre-dispatch HBM gate: {detail}; degraded config")
+            state = self._relayout_ss(state)
+        return state
+
     def _replace_tables(self, state: SimState, **tables) -> SimState:
         """Swap resized contact tables in; on a mesh, re-place the state so
         host-side resizes keep their shardings (sliced/padded arrays come
@@ -1023,6 +1081,7 @@ class Engine:
         retained pre-refresh state)."""
         self._cd_epochs += 1
         self._maybe_reenable_sweep()
+        state = self._enforce_hbm(state)
         for _ in range(16):
             # re-inject per attempt: grow_for may walk bin_factor back
             params_b = params.replace(
@@ -1059,10 +1118,10 @@ class Engine:
             if not (ovf & _CAP_OVF):
                 self._check_vel(new_state, ovf)
                 return new_state
-            state = self.grow_for(state, ovf)
+            state = self._enforce_hbm(self.grow_for(state, ovf))
         raise RuntimeError("contact capacity growth did not converge")
 
-    def _oom_degrade(self) -> bool:
+    def _oom_degrade(self, reason: str = "device RESOURCE_EXHAUSTED") -> bool:
         """Progressive degradation when a compiled program exhausts HBM
         despite the estimate_hbm_peak gate (the model is calibrated, not
         exact — a 1M-clump refresh with the fused dual layouts OOM'd a
@@ -1082,9 +1141,8 @@ class Engine:
             return False
         self.timers["oom_degrades"] += 1
         self._emit("WARNING",
-                   f"DEM OOM fallback: {changes} (device "
-                   "RESOURCE_EXHAUSTED; retrying with a smaller "
-                   "working set)")
+                   f"DEM OOM fallback: {changes} ({reason}; retrying "
+                   "with a smaller working set)")
         self.cfg = dataclasses.replace(cfg, **changes)
         self._build()
         return True
@@ -1175,6 +1233,9 @@ class Engine:
              update_freq)
         done = 0
         blocks = 0
+        # model-driven overload gate first: degrade or die politely
+        # BEFORE dispatching anything that would OOM-crash the worker
+        state = self._enforce_hbm(state)
         # superchunk fusion exists to amortize the ~15-22 ms dispatch
         # floor; it only pays while a chunk is dispatch-bound, and big
         # multi-chunk scans compile slowly — gate on the HBM peak model
@@ -1232,7 +1293,7 @@ class Engine:
             dt = _time.perf_counter() - t0
             if ovf & _CAP_OVF:
                 self.timers["rewinds"] += 1
-                state = self.grow_for(prev, ovf)
+                state = self._enforce_hbm(self.grow_for(prev, ovf))
                 continue  # rewind: retry the same span with grown tables
             self._check_vel(new, ovf)
             state = new

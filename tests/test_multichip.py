@@ -138,6 +138,64 @@ def test_sharded_step_partitions_big_arrays():
     assert f"f32[{cap},3]" not in txt
 
 
+def test_st_sweep_shards_over_mesh():
+    """VERDICT r4 #7: triangles index-shard on the mesh (no longer
+    replicated), so the ST sweep's per-tri work partitions. Asserts
+    (a) physics parity with the single-device engine on an ST-heavy
+    case (32-tri plate pressing into a bed), (b) the refresh HLO
+    computes per-tri world nodes at 1/8 size."""
+    import os
+    import sys
+    from functools import partial
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _build_case
+    from dem_engine_tpu.parallel.mesh import state_shardings
+    from dem_engine_tpu.solver import refresh_contacts
+
+    # plate grazing the top sphere layer (overlap 0.02R) so ST contacts
+    # exist from step 0: layer-7 center z = 7*dz + 2R + dz/2 with
+    # dz = 3.99R, top sphere +R, plate 0.98R above that sphere's center
+    R_ = 0.005
+    plate_z = R_ * (7 * 3.99 + 2 + 1.995 + 1.98)
+    kw = dict(update_freq=10, with_mesh=True, plate_grid=4,  # 32 tris
+              plate_z=plate_z, reduce_mode="segment")
+    cfg1, s1, params = _build_case(512, **kw)
+    n_tri = int(s1.tris.nodes.shape[0])
+    assert n_tri == 32 and n_tri % 8 == 0
+    eng1 = Engine(cfg1)
+    s1 = eng1.advance(s1, params, 20, update_freq=10)
+
+    mesh = make_mesh(8)
+    cfg8, s8, params8 = _build_case(512, **kw)
+    s8 = shard_state(s8, mesh)
+    assert len(s8.tris.nodes.sharding.device_set) == 8
+    eng8 = Engine(cfg8, mesh=mesh)
+    s8 = eng8.advance(s8, params8, 20, update_freq=10)
+
+    assert int(s1.st.count) > 0  # the plate is actually in contact
+    assert int(s8.st.count) == int(s1.st.count)
+    p1 = voxel.decode_host(
+        np.asarray(s1.owners.vox), np.asarray(s1.owners.loc),
+        cfg1.voxel_size)
+    p8 = voxel.decode_host(
+        np.asarray(s8.owners.vox), np.asarray(s8.owners.loc),
+        cfg8.voxel_size)
+    np.testing.assert_allclose(p1, p8, atol=5e-5)
+
+    # per-shard HLO: tri world nodes (T,3,3) at T/8 per device, and the
+    # ST table sharded (idA rows = cap_st/8)
+    ssh = state_shardings(s8, mesh)
+    import jax.sharding as jsh
+
+    repl = jsh.NamedSharding(mesh, jsh.PartitionSpec())
+    psh = jax.tree_util.tree_map(lambda _: repl, params8)
+    fn = jax.jit(partial(refresh_contacts, cfg=eng8.cfg, mesh=mesh),
+                 in_shardings=(ssh, psh), out_shardings=ssh)
+    txt = fn.lower(s8, params8).compile().as_text()
+    assert f"f32[{n_tri // 8},3,3]" in txt
+
+
 def test_10k_sphere_mesh_walls_parity():
     """VERDICT r3 #5: >=10k spheres with clumps + mesh + wall on the
     8-device mesh (spatially-decomposed SS refresh + global ST fallback)

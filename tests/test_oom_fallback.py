@@ -132,6 +132,86 @@ def test_uniq_fetch_dropped_before_fused_pass():
     assert not eng._oom_degrade()
 
 
+def test_hbm_gate_degrades_before_dispatch(monkeypatch):
+    """The pre-dispatch HBM model gate (VERDICT r4 #4/#8) walks the same
+    lossless ladder BEFORE any program is dispatched: a projected peak
+    above the gate drops uniq first, then the fused layouts, without an
+    OOM round-trip."""
+    import dem_engine_tpu.solver as solver_mod
+
+    cfg, state, params = _case(use_fused_force=True, uniq_cap=64)
+    eng = Engine(cfg)
+
+    real = solver_mod.estimate_hbm_peak
+
+    def inflated(st, c):
+        m = real(st, c)
+        # fabricate a peak that only fits once BOTH uniq and the fused
+        # layouts are gone (uniq term + a fused-layout surcharge)
+        over = 0.0
+        if c.uniq_cap:
+            over += 0.5 * m["hbm"]
+        if c.use_fused_force:
+            over += 0.5 * m["hbm"]
+        m = dict(m)
+        m["peak"] = 0.5 * m["hbm"] + over
+        return m
+
+    monkeypatch.setattr(solver_mod, "estimate_hbm_peak", inflated)
+    out = eng.advance(state, params, 30, update_freq=10)
+    assert eng.cfg.uniq_cap == 0
+    assert not eng.cfg.use_fused_force
+    assert eng.timers["oom_degrades"] == 2
+
+    cfg2, state2, params2 = _case(use_fused_force=False)
+    ref = Engine(cfg2).advance(state2, params2, 30, update_freq=10)
+    np.testing.assert_allclose(np.asarray(out.owners.vel),
+                               np.asarray(ref.owners.vel), atol=1e-7)
+
+
+def test_hbm_gate_dies_politely_when_nothing_left(monkeypatch):
+    """When even the fully-degraded config cannot fit, the engine raises
+    a diagnostic RuntimeError instead of dispatching a program that
+    would crash the TPU worker (the reference errors out in-kernel:
+    DEMContactKernels_SphereSphere.cu:121-126)."""
+    import pytest
+
+    import dem_engine_tpu.solver as solver_mod
+
+    cfg, state, params = _case(use_fused_force=False)
+    eng = Engine(cfg)
+
+    real = solver_mod.estimate_hbm_peak
+
+    def hopeless(st, c):
+        m = dict(real(st, c))
+        m["peak"] = 2.0 * m["hbm"]
+        return m
+
+    monkeypatch.setattr(solver_mod, "estimate_hbm_peak", hopeless)
+    with pytest.raises(RuntimeError, match="exceeds device HBM"):
+        eng.advance(state, params, 30, update_freq=10)
+
+
+def test_uniq_gate_priced_by_model():
+    """The uniq-fetch gate decision comes from the priced uniq transient
+    (estimate_hbm_peak), not a capacity constant: the model's peak with
+    uniq on strictly exceeds the peak with it off at the same shape."""
+    from dem_engine_tpu.solver import estimate_hbm_peak
+
+    cfg, state, params = _case(use_fused_force=True, uniq_cap=64)
+    with_u = estimate_hbm_peak(state, cfg)
+    without = estimate_hbm_peak(
+        state, dataclasses.replace(cfg, uniq_cap=0))
+    assert with_u["uniq_transient"] > 0
+    assert with_u["peak"] > without["peak"]
+    # XLA fallback sweep slab is priced too (worker-crash guard)
+    nosweep = estimate_hbm_peak(
+        state, dataclasses.replace(cfg, use_pallas_sweep=False,
+                                   cd_chunk=0))
+    assert nosweep["sweep_transient"] > 0
+
+
 def test_relayout_oom_walks_to_next_rung():
     """Round-4 1M-bench failure mode: the refresh OOMs, and the RECOVERY
     relayout's own allocations OOM too (the device is at the edge). The
