@@ -1,8 +1,8 @@
 #!/bin/bash
 # Round-5 TPU measurement queue: waits for the flagship run (pid in
-# /tmp/r5_flagship.pid) to exit, then runs the step-budget probes and the
-# poly bench sequentially — never two TPU processes at once; probes the
-# relay between runs (a crashed TPU call wedges it ~5-10 min).
+# /tmp/r5_flagship.pid) to exit, then runs the step-budget probes
+# sequentially — never two TPU processes at once; probes the relay
+# between runs (a crashed TPU call wedges it ~5-10 min).
 cd /root/repo
 
 while kill -0 "$(cat /tmp/r5_flagship.pid 2>/dev/null)" 2>/dev/null; do
@@ -29,10 +29,7 @@ run() {  # run <tag> <cmd...>
   echo "=== $tag rc=$? done $(date) ===" >> /tmp/r5_queue.log
 }
 
-run verify python tools/verify_r4.py
-run budget262 env DEM_HOIST=1 python tools/r5_step_budget.py --n 262144
-run budget262_nohoist env DEM_HOIST=0 python tools/r5_step_budget.py --n 262144
-run budget262_ch1024 env DEM_HOIST=1 python tools/r5_step_budget.py --n 262144 --ch 1024
-run poly python bench.py --poly --skip-1m --timers --budget 3600
-run budget1m env DEM_HOIST=1 python tools/r5_step_budget.py --n 1048576 --warm 200
+run budget262 python tools/r5_step_budget.py --n 262144
+run sweep262 python tools/r5_step_budget.py --n 262144 --sweep
+run budget1m python tools/r5_step_budget.py --n 1048576 --warm 200
 echo "=== QUEUE DONE $(date) ===" >> /tmp/r5_queue.log

@@ -59,13 +59,21 @@ def main():
     ap.add_argument("--ch", type=int, default=0,
                     help="override pallas_force.CH (contact chunk width) "
                          "for an A/B sweep of the per-chunk overhead")
+    ap.add_argument("--ob", type=int, default=0,
+                    help="override pallas_force.OB (owners per block)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep (CH, OB) over the warmed state and print "
+                         "per-point fused-pass times, then exit")
     args = ap.parse_args()
 
-    if args.ch:
+    if args.ch or args.ob:
         from dem_engine_tpu.ops import pallas_force as _pf
 
-        _pf.CH = args.ch
-        print(f"pallas_force.CH = {args.ch}", flush=True)
+        if args.ch:
+            _pf.CH = args.ch
+        if args.ob:
+            _pf.OB = args.ob
+        print(f"pallas_force CH={_pf.CH} OB={_pf.OB}", flush=True)
 
     import json
     import os
@@ -145,6 +153,25 @@ def main():
 
     def p_steps_k(st, pp):
         return run_steps(st, pp, cfg, args.k)
+
+    if args.sweep:
+        # one warm state, then re-jit the fused step per (CH, OB) point —
+        # timed() makes a fresh jax.jit so the new module globals are
+        # retraced; the engine state itself is CH/OB-independent
+        from dem_engine_tpu.ops import pallas_force as _pf
+
+        # OB can only be swept with uniq OFF (--uniq 0): the uniq layout's
+        # per-block ranks are built for the refresh-time OB and a different
+        # block width would mis-index the unique slabs
+        obs = (128,) if state.ss.uniq_a.shape[0] else (128, 256)
+        for ch in (512, 1024, 2048):
+            for ob in obs:
+                _pf.CH, _pf.OB = ch, ob
+                ms = timed(p_fused, state, params)
+                print(f"  sweep CH={ch:5d} OB={ob:4d}: {ms:8.2f} ms",
+                      flush=True)
+        _pf.CH, _pf.OB = args.ch or 512, args.ob or 128
+        return
 
     r = {}
     r["pack_kinematics"] = timed(p_pack, state, params)
