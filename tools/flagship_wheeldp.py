@@ -88,7 +88,11 @@ def build_prep(n, verbosity="INFO", h=5e-6):
         g = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 2)
         m = min(g.shape[0], n - total)
         g = g[:m] + rng.uniform(-0.1 * r, 0.1 * r, (m, 2))
-        z += 1.05 * (r_prev + r)  # no z contact with the layer below
+        # TOUCHING but overlap-free (1e-4 relative gap): in uniform free
+        # fall relative gaps never close, so a 1.05x-gap stack settled
+        # for 0.02 s was still a zero-contact falling cloud (first r5
+        # flagship run) — start load-bearing instead, bottom ON the floor
+        z += (1.0 + 1e-4) * (r_prev + r if r_prev else r)
         layer = np.concatenate([g, np.full((m, 1), z)], axis=1)
         pos.append(layer)
         kind_seq += [k] * m
@@ -96,7 +100,7 @@ def build_prep(n, verbosity="INFO", h=5e-6):
         total += m
     pos = np.concatenate(pos)
     lz = z + 40 * R_MEAN  # headroom for the settle
-    pos[:, 2] -= lz / 2 - 2 * R_MEAN
+    pos[:, 2] -= lz / 2  # layer-0 center sits r above the floor at -lz/2
     s.InstructBoxDomainDimension(lx, lx, lz)
     s.InstructBoxDomainBoundingBC("all")
     tmpls = make_templates(s, mat)
