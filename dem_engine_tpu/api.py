@@ -2585,15 +2585,20 @@ class DEMSolver:
         """Fill per-contact force/torque/cpoint for queries.
 
         The fused force pass (TPU hot loop) reduces wrenches in-kernel and
-        never materializes per-contact forces; queries that need them
-        (GetContactDetailedInfo / tracker GetContactForces / contact file
-        output — reference generateContactInfo, dT.cpp:1619) trigger one
-        extra fused pass with the `extras` output streams here. Wildcards
-        are NOT advanced (the pass result's history update is discarded)."""
+        never materializes per-contact forces (slim tables don't even
+        carry the arrays — state.ContactTable.empty_layout); queries that
+        need them (GetContactDetailedInfo / tracker GetContactForces /
+        contact file output — reference generateContactInfo, dT.cpp:1619)
+        trigger one extra fused pass with the `extras` output streams
+        here. The results live in `self._ss_query` OUTSIDE the jitted
+        state (so the hot loop's program shapes never change); read them
+        through `_ss_fields`. Wildcards are NOT advanced (the pass
+        result's history update is discarded)."""
         cfg = self.engine.cfg if self.engine is not None else None
         if (cfg is None or not cfg.use_fused_force
                 or cfg.force_model.fused_variant is None
                 or self.state.ss.cap == 0 or self.state.spheres.n == 0):
+            self._ss_query = None
             return
         if self._contact_fill_jit is None:
             from .ops import forces as _forces
@@ -2605,13 +2610,18 @@ class DEMSolver:
                     state.ss, state.owners, params, cfg.voxel_size,
                     cfg.force_model, krec, extras=True,
                 )
-                return state.ss.replace(
-                    force=tbl.force, torque=tbl.torque, cpoint=tbl.cpoint
-                )
+                return tbl.force, tbl.torque, tbl.cpoint
             self._contact_fill_jit = jax.jit(fill)
-        self.state = self.state.replace(
-            ss=self._contact_fill_jit(self.state, self.params)
-        )
+        self._ss_query = self._contact_fill_jit(self.state, self.params)
+
+    def _ss_fields(self):
+        """(force, torque, cpoint) of the SS table for query paths: the
+        filled extras-pass outputs when the fused pass owns the table,
+        the in-state arrays otherwise (XLA contact_pass path)."""
+        if getattr(self, "_ss_query", None) is not None:
+            return self._ss_query
+        t = self.state.ss
+        return t.force, t.torque, t.cpoint
 
     def GetContactDetailedInfo(self):
         """Contact table dump incl. forces/points (reference API.h:544)."""
@@ -2627,15 +2637,17 @@ class DEMSolver:
             n = int(tbl.count)
             if n == 0:
                 continue
+            f3, t3, cp3 = ((tbl.force, tbl.torque, tbl.cpoint)
+                           if name != "SS" else self._ss_fields())
             idA = np.asarray(tbl.idA[:n])
-            point = np.asarray(tbl.cpoint[:n]) + opos[own[idA]]
+            point = np.asarray(cp3[:n]) + opos[own[idA]]
             out.append(
                 dict(
                     kind=name,
                     idA=idA,
                     idB=np.asarray(tbl.idB[:n]),
-                    force=np.asarray(tbl.force[:n]),
-                    torque_only=np.asarray(tbl.torque[:n]),
+                    force=np.asarray(f3[:n]),
+                    torque_only=np.asarray(t3[:n]),
                     point=point,
                     wildcards={
                         k: np.asarray(v[:n])
@@ -2653,7 +2665,9 @@ class DEMSolver:
 
     @staticmethod
     @partial(jax.jit, static_argnums=(2,))
-    def _cfq_filter(state, owner_id, cap_out):
+    def _cfq_filter(state, owner_id, cap_out, ss_fields=None):
+        """`ss_fields`: (force, torque, cpoint) for the SS table when the
+        slim fused table carries none in-state (api._ss_fields)."""
         outs_p = jnp.zeros((cap_out + 1, 3), F)
         outs_f = jnp.zeros((cap_out + 1, 3), F)
         outs_t = jnp.zeros((cap_out + 1, 3), F)
@@ -2662,6 +2676,9 @@ class DEMSolver:
         for tbl in (state.ss, state.st, state.sa):
             if tbl.cap == 0:
                 continue
+            f3, t3, p3 = tbl.force, tbl.torque, tbl.cpoint
+            if tbl is state.ss and ss_fields is not None:
+                f3, t3, p3 = ss_fields
             live = tbl.idA >= 0
             for own_col, sign in ((tbl.own_a, 1.0), (tbl.own_b, -1.0)):
                 sel = live & (own_col == oid)
@@ -2670,16 +2687,15 @@ class DEMSolver:
                 dest = jnp.minimum(dest, cap_out)
                 # contact point rel owner-A CoM -> rel queried owner frame
                 # is resolved on host; store cpoint + A-owner id instead
-                pt = tbl.cpoint
                 outs_p = outs_p.at[dest].set(
-                    jnp.where(sel[:, None], pt, 0.0), mode="drop")
+                    jnp.where(sel[:, None], p3, 0.0), mode="drop")
                 outs_f = outs_f.at[dest].set(
-                    jnp.where(sel[:, None], sign * tbl.force, 0.0),
+                    jnp.where(sel[:, None], sign * f3, 0.0),
                     mode="drop")
                 # torque-only force (rolling resistance): applies at the
                 # contact point like the normal force does
                 outs_t = outs_t.at[dest].set(
-                    jnp.where(sel[:, None], sign * tbl.torque, 0.0),
+                    jnp.where(sel[:, None], sign * t3, 0.0),
                     mode="drop")
                 total = total + (csum[-1] if sel.size else 0)
         return outs_p[:cap_out], outs_f[:cap_out], outs_t[:cap_out], total
@@ -2707,10 +2723,14 @@ class DEMSolver:
     def _contact_forces_for_owner(self, owner_id: int,
                                   with_torque: bool = False):
         self._fill_contact_fields()
+        ssf = (self._ss_fields()
+               if self.state.ss.force.shape[0] != self.state.ss.cap
+               else None)
         cap = self._CFQ_CAP
         oid = jnp.asarray(owner_id, jnp.int32)
         while True:
-            pts, fs, ts, total = self._cfq_filter(self.state, oid, cap)
+            pts, fs, ts, total = self._cfq_filter(self.state, oid, cap,
+                                                  ss_fields=ssf)
             owna, _ = self._cfq_owner_a(self.state, oid, cap)
             n = int(total)
             if n <= cap:

@@ -186,20 +186,36 @@ def make_state(owners: Owners, spheres: Spheres, cfg: SolverConfig,
     from .ops.forces import premix_names
 
     pn = premix_names(cfg.force_model)
-    return SimState(
-        owners=owners,
-        spheres=spheres,
-        tris=tris if tris is not None else empty_triangles(),
-        anals=anals if anals is not None else empty_analyticals(),
-        ss=empty_ss_table(cfg, cfg.cap_ss,
-                          uniq_rows=ss_uniq_rows(cfg, owners.n)),
-        st=ContactTable.empty(cfg.cap_st, wc, pn),
-        sa=ContactTable.empty(cfg.cap_sa, wc, pn),
-        time=jnp.zeros((), F),
-        step=jnp.zeros((), I),
-        overflow=jnp.zeros((), I),
-        lost_contacts=jnp.zeros((), I),
-        max_vel=jnp.zeros((), F),
+    uniq_rows = ss_uniq_rows(cfg, owners.n)
+
+    # build the zero tables inside ONE jitted program: eagerly, each
+    # jnp.zeros is its own device dispatch — ~90 of them — and on the
+    # tunneled TPU backend every first-seen eager op is a separate
+    # remote compile (a 524k-clump Initialize measured 25 MINUTES of
+    # wall clock in eager mode; one fused allocation program compiles
+    # once and replays from the persistent cache)
+    import jax
+
+    def build(o, s, t, a):
+        return SimState(
+            owners=o,
+            spheres=s,
+            tris=t,
+            anals=a,
+            ss=empty_ss_table(cfg, cfg.cap_ss, uniq_rows=uniq_rows),
+            st=ContactTable.empty(cfg.cap_st, wc, pn),
+            sa=ContactTable.empty(cfg.cap_sa, wc, pn),
+            time=jnp.zeros((), F),
+            step=jnp.zeros((), I),
+            overflow=jnp.zeros((), I),
+            lost_contacts=jnp.zeros((), I),
+            max_vel=jnp.zeros((), F),
+        )
+
+    return jax.jit(build)(
+        owners, spheres,
+        tris if tris is not None else empty_triangles(),
+        anals if anals is not None else empty_analyticals(),
     )
 
 

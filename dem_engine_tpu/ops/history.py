@@ -149,9 +149,11 @@ def carry_history(
         idB=new_idB,
         count=new_count,
         persist=persist,
-        force=jnp.zeros((cap, 3), F),
-        torque=jnp.zeros((cap, 3), F),
-        cpoint=jnp.zeros((cap, 3), F),
+        # slim fused tables carry no query fields (state.empty_layout);
+        # keep whatever shape the old table had
+        force=jnp.zeros_like(old.force),
+        torque=jnp.zeros_like(old.torque),
+        cpoint=jnp.zeros_like(old.cpoint),
         wildcards=wildcards,
         # stale until the caller's finalize_table rebuilds them
         own_a=old.own_a,

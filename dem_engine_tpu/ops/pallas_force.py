@@ -54,11 +54,13 @@ import os
 
 BF16X3 = os.environ.get("DEM_BF16X3", "1") == "1"
 
-CH = 512   # contact chunk width
-OB = 128   # owners per grid block (swept on hardware: 512 -> 41.5 ms,
-           # 256 -> 18.9, 128 -> 17.7 per pass at 3.93M contacts — the
-           # one-hot matmul cost is linear in OB, boundary revisits grow
-           # only as n_blocks)
+# contact chunk width / owners per grid block (swept on hardware:
+# OB 512 -> 41.5 ms, 256 -> 18.9, 128 -> 17.7 per pass at 3.93M
+# contacts — the one-hot matmul cost is linear in OB, boundary
+# revisits grow only as n_blocks). Env-overridable for A/B sweeps
+# (tools/r5_step_budget.py).
+CH = int(os.environ.get("DEM_CH", "512"))
+OB = int(os.environ.get("DEM_OB", "128"))
 
 _PI_SQ = 9.869604401089358
 _TWO_SQRT_5_6 = 2.0 * (5.0 / 6.0) ** 0.5

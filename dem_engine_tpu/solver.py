@@ -19,6 +19,7 @@ resize, kT.cpp:21-41), then dispatches the K-step scan with donated state.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Dict, Tuple
 
@@ -209,7 +210,10 @@ def refresh_contacts(state: SimState, params: RuntimeParams,
         # the axis with the MOST bins slowest (traced argsort — margins
         # move the grid without recompiles); distances are axis-order
         # independent, so only idx3/nb consumers see the relabeling.
-        perm = jnp.argsort(nb)
+        if os.environ.get("DEM_CD_RELABEL", "1") == "0":  # debug hatch
+            perm = jnp.arange(3, dtype=I)
+        else:
+            perm = jnp.argsort(nb)
         pos_cd = jnp.take(pos, perm, axis=1)
         dom_cd = params.domain[perm]
         nb_cd = nb[perm]
@@ -612,6 +616,18 @@ _CAP_OVF = (OVF_SS_CAP | OVF_ST_CAP | OVF_SA_CAP | OVF_BIN_OCC
             | OVF_SPATIAL_BUCKET | OVF_UNIQ | OVF_XOCC | OVF_LCAP)
 
 
+def _is_relay_transient(exc: Exception) -> bool:
+    """Transient tunneled-backend failures (the relay occasionally drops
+    a remote compile mid-flight: 'response body closed before all bytes
+    were read'). These are retryable — nothing was consumed — unlike a
+    device OOM, which must keep flowing to the degrade ladder."""
+    s = f"{type(exc).__name__}: {exc}"
+    if "RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s:
+        return False
+    return ("remote_compile" in s or "response body closed" in s
+            or "read body" in s)
+
+
 def _is_device_oom(exc: Exception) -> bool:
     s = repr(exc)
     return "RESOURCE_EXHAUSTED" in s or "ResourceExhausted" in s
@@ -630,10 +646,14 @@ _UNIQ_REFRESH_BYTES = 72
 #: reference's in-kernel abort role (DEMContactKernels_SphereSphere.cu:
 #: 121-126); an execution-time OOM on this backend can crash the TPU
 #: worker instead of raising, wedging the relay ~10 min (round 4).
-#: Calibration (model GiB @ 16e9-byte HBM): 262k+uniq 4.93 pass;
-#: 1M+uniq 15.21 must FAIL; 1M-no-uniq 14.58 must PASS (it completes on
-#: the chip) => gate in (0.979, 1.021) x hbm; 0.99 splits it.
-_HBM_GATE = 0.99
+#: Calibration (model GiB @ 16e9-byte HBM, after the round-5 slim-table
+#: diet dropped force/torque/cpoint from fused tables): 262k+uniq 4.8
+#: pass; 1M+uniq 14.6 must FAIL (refresh OOM'd the chip on 2026-08-20
+#: AND the subsequent fused-off relayout OOM'd at the edge — the XLA
+#: rung now allocates the query fields fresh); 1M-no-uniq ~13.95 must
+#: PASS (completes on the chip) => gate in (0.936, 0.980); 0.96 splits
+#: it with margin on the crash side.
+_HBM_GATE = 0.96
 
 
 def estimate_hbm_peak(state: SimState, cfg: SolverConfig) -> Dict[str, float]:
@@ -705,6 +725,26 @@ def estimate_hbm_peak(state: SimState, cfg: SolverConfig) -> Dict[str, float]:
     }
 
 
+def _peak_at_cap(mem, state: SimState, cfg: SolverConfig,
+                 new_cap: int) -> float:
+    """Re-price estimate_hbm_peak's result at a hypothetical SS capacity
+    (bytes). Pure rescale of the cap-proportional terms of an
+    already-computed breakdown — avoids building a trial state at the
+    OOM edge. Used by the shrink-to-admit-uniq gate rung."""
+    ratio = new_cap / max(cfg.cap_ss, 1)
+    ss_b = sum(l.size * l.dtype.itemsize
+               for l in jax.tree_util.tree_leaves(state.ss))
+    state_b = mem["state"] - ss_b * (1.0 - ratio)
+    spad = max(state.spheres.n, 1)
+    base = (mem["refresh_transient"] - mem["uniq_transient"]
+            - mem["sweep_transient"] - spad * 768)
+    uniq_b = (new_cap * _UNIQ_REFRESH_BYTES
+              if cfg.uniq_cap and cfg.use_fused_force else 0.0)
+    refresh_b = base * ratio + spad * 768 + mem["sweep_transient"] + uniq_b
+    step_b = mem["step_transient"] * ratio
+    return 2.0 * state_b + max(refresh_b, step_b)
+
+
 class Engine:
     """Owns the jit caches and the refresh/step/grow protocol.
 
@@ -757,6 +797,18 @@ class Engine:
         self._cd_epochs = 0
         self._sweep_probe_at = 0
         self._sweep_backoff = 16
+        # shrink-to-admit-uniq churn guard: if a capacity growth follows
+        # an admit-shrink within 2 CD epochs (a rising contact count),
+        # the rung is disabled for the rest of the run — each
+        # grow/shrink cycle is a fresh multi-minute refresh compile
+        self._uniq_admit_epoch = -(10**9)
+        self._uniq_admit_off = False
+        # a uniq drop by the pre-dispatch MODEL gate (not a real device
+        # OOM) is reversible: the entry gate re-admits uniq at a trimmed
+        # capacity once the live contact count is known (a warmup
+        # transient must not cost the whole run its uniq-fetch)
+        self._uniq_gate_dropped = False
+        self._uniq_cap0 = cfg.uniq_cap
         self.timers = {
             "fused_s": 0.0, "fused_steps": 0,
             "refresh_s": 0.0, "refresh_n": 0,
@@ -880,6 +932,14 @@ class Engine:
             # the owner-block reduce stream 512-wide chunks (pad-free)
             changes["cap_ss"] = -(-(int(cfg.cap_ss * _GROWTH) + 64)
                                   // 512) * 512
+            if self._cd_epochs - self._uniq_admit_epoch <= 2:
+                # the admit-shrink rung trimmed this cap moments ago and
+                # the count immediately outgrew it: a rising-count regime
+                # would churn grow/shrink recompiles — stop admitting
+                self._uniq_admit_off = True
+                self._emit("STEP_METRIC",
+                           "shrink-to-admit-uniq disabled: contact count "
+                           "outgrew the trimmed capacity")
         if ovf & OVF_ST_CAP:
             changes["cap_st"] = int(cfg.cap_st * _GROWTH) + 64
         if ovf & OVF_SA_CAP:
@@ -1034,7 +1094,8 @@ class Engine:
             sa=state.sa.shrunk(self.cfg.cap_sa),
         )
 
-    def _enforce_hbm(self, state: SimState) -> SimState:
+    def _enforce_hbm(self, state: SimState,
+                     allow_shrink: bool = True) -> SimState:
         """Model-driven pre-dispatch overload guard (VERDICT r4 #4/#8):
         while the projected HBM peak exceeds _HBM_GATE x device HBM, walk
         the lossless degrade ladder (uniq-fetch off, then the fused force
@@ -1042,13 +1103,84 @@ class Engine:
         nothing is left to drop, raise a polite RuntimeError instead of
         dispatching a program that would take the TPU worker down. This
         replaces the round-4 UNIQ_CAP_LIMIT constant: the uniq gate
-        decision now comes from the priced uniq transient."""
+        decision now comes from the priced uniq transient.
+
+        Before dropping uniq-fetch (the first rung — and a real
+        optimization: it replaces the two full-cap other-side kinematic
+        gathers, measured 259 ms/step at the 1M-clump shape), try
+        ADMITTING it by trimming capacity slack: every SS cap row costs
+        ~1.2 kB across the doubled state + refresh transient, so a
+        1.3x-slack table prices uniq out of HBM where a 1.18x one fits.
+        `allow_shrink=False` disables that rung — used right after a
+        capacity growth, where the live contact count is unknown (the
+        old count just overflowed) and shrinking would loop."""
         for _ in range(4):
             mem = estimate_hbm_peak(state, self.cfg)
+            cnt = int(state.ss.count)
+            if (allow_shrink and cnt > 0 and not self.cfg.uniq_cap
+                    and self._uniq_gate_dropped and not self._uniq_admit_off
+                    and self.cfg.use_fused_force and self._uniq_cap0):
+                # the MODEL gate dropped uniq earlier (e.g. at init or
+                # during a warmup growth, when the live count was
+                # unknown); re-admit it at a trimmed capacity now that
+                # the count is real — a transient must not cost the
+                # whole run the uniq-fetch step savings
+                need = max(512, -(-int(cnt * 1.18 + 64) // 512) * 512)
+                # re-admission never grows the table (a grown trial would
+                # defeat the point); an already-tight cap re-admits as-is
+                need = min(need, self.cfg.cap_ss)
+                trial = dataclasses.replace(self.cfg,
+                                            uniq_cap=self._uniq_cap0)
+                # +2x8B/cap: the persistent uidx/uidx_b rows the trial
+                # state would carry (absent from the uniq-less `state`)
+                peak2 = (_peak_at_cap(mem, state, trial, need)
+                         + 2 * 8.0 * need)
+                if peak2 <= _HBM_GATE * mem["hbm"]:
+                    self._emit("STEP_METRIC",
+                               "HBM gate: re-admitting uniq-fetch at "
+                               f"cap_ss {self.cfg.cap_ss} -> {need} "
+                               f"(model peak {peak2/2**30:.1f} GiB)")
+                    self.timers["shrinks"] += 1
+                    self._uniq_admit_epoch = self._cd_epochs
+                    self._uniq_gate_dropped = False
+                    self.cfg = dataclasses.replace(
+                        self.cfg, uniq_cap=self._uniq_cap0, cap_ss=need)
+                    self._build()
+                    ss = state.ss.shrunk(need)
+                    from .ops.pallas_force import OB as _OB
+
+                    rows = (-(-state.owners.n // _OB)) * self.cfg.uniq_cap
+                    ucap = ss.cap if rows else 0
+                    ss = ss.replace(
+                        uniq_a=jnp.full((rows,), state.owners.n, I),
+                        uniq_b=jnp.full((rows,), state.owners.n, I),
+                        uidx=jnp.zeros((ucap,), F),
+                        uidx_b=jnp.zeros((ucap,), F),
+                    )
+                    state = self._replace_tables(state, ss=ss)
+                    continue
             if mem["peak"] <= _HBM_GATE * mem["hbm"]:
                 return state
             detail = (f"projected HBM peak {mem['peak']/2**30:.1f} GiB > "
                       f"{_HBM_GATE:.2f} x {mem['hbm']/2**30:.1f} GiB")
+            if (allow_shrink and cnt > 0 and self.cfg.uniq_cap
+                    and self.cfg.use_fused_force
+                    and not self._uniq_admit_off):
+                need = max(512, -(-int(cnt * 1.18 + 64) // 512) * 512)
+                if (need < self.cfg.cap_ss
+                        and _peak_at_cap(mem, state, self.cfg, need)
+                        <= _HBM_GATE * mem["hbm"]):
+                    self._emit("STEP_METRIC",
+                               "HBM gate: shrinking cap_ss "
+                               f"{self.cfg.cap_ss} -> {need} to keep "
+                               f"uniq-fetch admitted ({detail})")
+                    self.timers["shrinks"] += 1
+                    self._uniq_admit_epoch = self._cd_epochs
+                    self.cfg = dataclasses.replace(self.cfg, cap_ss=need)
+                    self._build()
+                    state = self._replace_tables(
+                        state, ss=state.ss.shrunk(need))
+                    continue
             if not self._oom_degrade(reason="pre-dispatch HBM peak model"):
                 raise RuntimeError(
                     "working set exceeds device HBM even with every "
@@ -1088,8 +1220,9 @@ class Engine:
                 bin_factor=jnp.asarray(self.bin_factor, F))
             new_state = None
             try:
-                new_state = self._get_refresh(state, params_b)(
-                    state, params_b)
+                new_state = self._relay_retry(
+                    lambda: self._get_refresh(state, params_b)(
+                        state, params_b))
                 ovf = int(new_state.overflow)
             except Exception as e:  # refresh jit has no donation: lossless
                 if not (_is_device_oom(e) and self._oom_degrade()):
@@ -1118,7 +1251,8 @@ class Engine:
             if not (ovf & _CAP_OVF):
                 self._check_vel(new_state, ovf)
                 return new_state
-            state = self._enforce_hbm(self.grow_for(state, ovf))
+            state = self._enforce_hbm(self.grow_for(state, ovf),
+                                      allow_shrink=False)
         raise RuntimeError("contact capacity growth did not converge")
 
     def _oom_degrade(self, reason: str = "device RESOURCE_EXHAUSTED") -> bool:
@@ -1135,6 +1269,10 @@ class Engine:
         cfg = self.cfg
         if cfg.uniq_cap:
             changes = {"uniq_cap": 0}
+            if reason.startswith("pre-dispatch"):
+                self._uniq_gate_dropped = True  # model call: re-admittable
+            else:
+                self._uniq_admit_off = True     # real OOM: stays off
         elif cfg.use_fused_force:
             changes = {"use_fused_force": False}
         else:
@@ -1167,7 +1305,8 @@ class Engine:
         from .initializer import ss_layout_fields, ss_uniq_rows
 
         for name in ("statics", "fstat_a", "fstat_b", "wcb", "own_a_b",
-                     "uidx", "uidx_b", "uniq_a", "uniq_b", "premix"):
+                     "uidx", "uidx_b", "uniq_a", "uniq_b", "premix",
+                     "force", "torque", "cpoint"):
             for leaf in jax.tree_util.tree_leaves(getattr(state.ss, name)):
                 if hasattr(leaf, "delete"):
                     try:
@@ -1269,7 +1408,7 @@ class Engine:
             prev = state
             t0 = _time.perf_counter()
             try:
-                new = fn(state, params_k)
+                new = self._relay_retry(lambda: fn(state, params_k))
                 ovf = int(new.overflow)  # device sync point
             except Exception as e:  # run_chunks jit has no donation
                 if not _is_device_oom(e):
@@ -1293,7 +1432,8 @@ class Engine:
             dt = _time.perf_counter() - t0
             if ovf & _CAP_OVF:
                 self.timers["rewinds"] += 1
-                state = self._enforce_hbm(self.grow_for(prev, ovf))
+                state = self._enforce_hbm(self.grow_for(prev, ovf),
+                                          allow_shrink=False)
                 continue  # rewind: retry the same span with grown tables
             self._check_vel(new, ovf)
             state = new
@@ -1353,6 +1493,32 @@ class Engine:
             done += kk
         return state
 
+    def _relay_retry(self, call):
+        """Run a device dispatch, retrying transient relay failures after
+        the backend answers a probe again (a long remote compile dropped
+        mid-flight killed the round-5 flagship drive phase; the program
+        is idempotent and usually already in the persistent cache on
+        retry). Non-transient errors — including device OOM — propagate
+        unchanged to the callers' degrade ladders."""
+        import time as _time
+
+        for attempt in range(4):
+            try:
+                return call()
+            except Exception as e:
+                if not _is_relay_transient(e) or attempt == 3:
+                    raise
+                self._emit("WARNING",
+                           f"transient TPU relay error ({e}); probing the "
+                           "backend and retrying the dispatch")
+                for _ in range(20):
+                    try:
+                        if float(jnp.ones((8, 8)).sum()) == 64.0:
+                            break
+                    except Exception:  # noqa: BLE001  (still wedged)
+                        pass
+                    _time.sleep(30)
+
     def _run_steps_recovering(self, kk: int, state: SimState,
                               params_k: RuntimeParams) -> SimState:
         """Split-path K-step dispatch with the full OOM degrade ladder.
@@ -1367,8 +1533,9 @@ class Engine:
         for _ in range(8):
             donate = self._steps_validated
             try:
-                out = self._steps_fn(kk, state, params_k, donate=donate)(
-                    state, params_k)
+                out = self._relay_retry(
+                    lambda: self._steps_fn(kk, state, params_k,
+                                           donate=donate)(state, params_k))
                 self._steps_validated = True
                 return out
             except Exception as e:

@@ -225,7 +225,17 @@ class ContactTable:
         device that just RESOURCE_EXHAUSTED (round-4 1M bench)."""
         fcap = cap if fused else 0
         ucap = fcap if uniq_rows else 0
+        # per-contact force/torque/cpoint are QUERY outputs: the fused
+        # pass reduces wrenches in-kernel and only materializes them on
+        # demand (api._fill_contact_fields), so slim tables carry none —
+        # 36 B/contact (~340 MB at the 1M-clump capacity) otherwise rides
+        # the scan carry. The XLA contact_pass path writes them per step
+        # and keeps the full arrays.
+        qcap = 0 if (fused and slim) else cap
         return dict(
+            force=jnp.zeros((qcap, 3), F),
+            torque=jnp.zeros((qcap, 3), F),
+            cpoint=jnp.zeros((qcap, 3), F),
             statics=(jnp.zeros((0, cap), F) if (fused and slim) else
                      jnp.zeros((STATIC_W, cap), F).at[0].set(-1.0)),
             premix={k: jnp.zeros((cap,), F) for k in premix_names},
@@ -249,9 +259,6 @@ class ContactTable:
             idB=jnp.full((cap,), -1, I),
             count=jnp.zeros((), I),
             persist=jnp.zeros((cap,), I),
-            force=jnp.zeros((cap, 3), F),
-            torque=jnp.zeros((cap, 3), F),
-            cpoint=jnp.zeros((cap, 3), F),
             wildcards={k: jnp.zeros((cap,), F) for k in wildcard_names},
             own_a=jnp.full((cap,), -1, I),
             own_b=jnp.full((cap,), -1, I),
@@ -262,6 +269,14 @@ class ContactTable:
         )
 
     def _resized(self, new_cap: int) -> "ContactTable":
+        # one jitted program instead of ~30 eager dispatches: on the
+        # tunneled TPU backend every first-seen eager op is a separate
+        # remote compile, which made each capacity grow/shrink cost
+        # minutes of wall clock at large caps (same fix as
+        # initializer.make_state)
+        return _resized_jit(self, new_cap)
+
+    def _resized_impl(self, new_cap: int) -> "ContactTable":
         cap = self.cap
         if new_cap <= cap:
             sl = lambda x: x[:new_cap]
@@ -297,9 +312,12 @@ class ContactTable:
             idB=sl_fill(self.idB, -1),
             count=jnp.minimum(self.count, new_cap),
             persist=sl(self.persist),
-            force=sl(self.force),
-            torque=sl(self.torque),
-            cpoint=sl(self.cpoint),
+            # slim fused tables carry no per-contact force/torque/cpoint
+            # (query outputs; see empty_layout) — keep them empty
+            force=sl(self.force) if self.force.shape[0] else self.force,
+            torque=sl(self.torque) if self.torque.shape[0] else self.torque,
+            cpoint=(sl(self.cpoint) if self.cpoint.shape[0]
+                    else self.cpoint),
             wildcards={k: sl(v) for k, v in self.wildcards.items()},
             own_a=sl_fill(self.own_a, -1),
             own_b=sl_fill(self.own_b, -1),
@@ -350,6 +368,9 @@ class ContactTable:
         """Host-side capacity growth (the resize path of DEME kT.cpp:21-41)."""
         assert new_cap >= self.cap
         return self._resized(new_cap)
+
+
+_resized_jit = jax.jit(ContactTable._resized_impl, static_argnums=(1,))
 
 
 # Overflow bit flags (surfaced to host between chunks; the reference instead

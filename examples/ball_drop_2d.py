@@ -36,18 +36,32 @@ def build(n=350, r=0.006, drop_h=0.08, ball_rad=0.04, h=1e-5,
     s = dem.DEMSolver()
     s.SetVerbosity(verbosity)
     s.InstructBoxDomainDimension(0.6, 0.1, 0.7)
-    mat = s.LoadMaterial({"E": 5e7, "nu": 0.3, "CoR": 0.3, "mu": 0.4,
-                          "Crr": 0.02})
+    # high mu + rolling resistance: a quasi-2D disc column cannot arrest
+    # a load without RR (discs roll indefinitely), and the 9-row mini bed
+    # otherwise lets the ball CREEP — depth then measures time since
+    # impact, not impact energy, and d(H) inverts (round-5 finding)
+    mat = s.LoadMaterial({"E": 5e7, "nu": 0.3, "CoR": 0.3, "mu": 0.6,
+                          "Crr": 0.15})
     rho = 2000.0
     tmpl = s.LoadSphereType(rho * 4 / 3 * np.pi * r**3, r, mat)
-    # slab bed: one sphere thick in y
-    half = np.asarray([0.2, 0.0, 0.055])
-    xs = np.arange(-half[0], half[0], 2.05 * r)
-    zs = np.arange(-0.3, -0.3 + 2 * half[2], 1.8 * r)
-    gx, gz = np.meshgrid(xs, zs)
-    pts = np.stack(
-        [gx.ravel() + 0.3 * r * np.cos(gz.ravel() * 997),
-         np.zeros(gx.size), gz.ravel()], axis=1)[:n]
+    # slab bed, one sphere thick in y: a TOUCHING triangular (brick)
+    # lattice resting on the floor. The earlier build used 1.8r vertical
+    # spacing (rows 10% pre-overlapped) dropped 14 mm above the floor —
+    # the release pop left the bed in a chaotic half-settled state at
+    # impact, and the crater-depth ordering between two drop heights
+    # became reduction-order noise (round-5 bisect: the same binary
+    # flipped the d(H) ordering across CD-pair-order changes).
+    xs = np.arange(-0.2, 0.2, 2.05 * r)
+    dz = 2.05 * r * np.sqrt(3) / 2
+    rows = []
+    z0 = -0.32 + 1.0001 * r  # bottom row ON the floor plane at -0.32
+    i = 0
+    while sum(len(rw) for rw in rows) < n:
+        off = 1.025 * r if i % 2 else 0.0
+        rows.append(np.stack([xs + off, np.zeros_like(xs),
+                              np.full_like(xs, z0 + i * dz)], axis=1))
+        i += 1
+    pts = np.concatenate(rows)[:n]
     s.AddClumps(tmpl, pts)
     bed_top = pts[:, 2].max() + r
 

@@ -585,3 +585,33 @@ def test_prescription_merge_keeps_earlier_axes():
     p = s.GetOwnerPosition()[0]
     assert abs(p[0] - (p0[0] + 0.2 * 0.1)) < 1e-4
     assert abs(p[2] - 0.05 * 0.1) < 1e-4
+
+
+def test_slim_fused_tables_drop_query_fields_and_fill_on_demand():
+    """Slim fused SS tables carry NO per-contact force/torque/cpoint
+    (36 B/contact of query-only state at 1M-clump caps); query paths
+    fill them through the extras pass into api._ss_query instead
+    (state shapes never change). Forced on CPU via an engine relayout
+    (the fused kernel runs in interpret mode there)."""
+    import dataclasses
+
+    s, _ = _simple_solver(n=6, r=0.01, gravity=(0, 0, -9.81), h=1e-5)
+    s.AddBCPlane([0, 0, -0.00999], [0, 0, 1])  # slight initial overlap
+    s.Initialize()
+    eng = s.engine
+    eng.cfg = dataclasses.replace(eng.cfg, use_fused_force=True)
+    eng._build()
+    s.state = eng._relayout_ss(s.state)
+    assert s.state.ss.force.shape[0] == 0  # slim: no in-state fields
+    s.DoDynamics(0.05)  # long enough for the CoR-0.5 bounces to die out
+    assert s.state.ss.force.shape[0] == 0  # still slim after stepping
+    info = s.GetContactDetailedInfo()
+    sa = [b for b in info if b["kind"] == "SA"]
+    assert sa, "spheres must rest on the BC plane"
+    # floor reaction equals bed weight (the verify-skill invariant)
+    fz = float(np.sum(sa[0]["force"][:, 2]))
+    weight = 6 * 0.001 * 9.81
+    assert abs(fz - weight) / weight < 0.2
+    # resize keeps the slim placeholders empty
+    g = s.state.ss.grown(2 * s.state.ss.cap)
+    assert g.force.shape[0] == 0 and g.cpoint.shape[0] == 0

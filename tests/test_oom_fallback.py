@@ -20,11 +20,12 @@ R = 0.01
 
 
 def _case(**cfg_kw):
+    cfg_kw.setdefault("cap_ss", 64)
     cfg = SolverConfig(
         voxel_size=1.0 / 2**16,
         integrator=TimeIntegrator.CENTERED_DIFFERENCE,
         force_model=HertzianForceModel(),
-        cap_ss=64, cap_sa=8, cap_st=8,
+        cap_sa=8, cap_st=8,
         **cfg_kw,
     )
     mass = 2500 * 4 / 3 * np.pi * R**3
@@ -254,3 +255,128 @@ def test_relayout_oom_walks_to_next_rung():
     ref = Engine(cfg2).advance(state2, params2, 30, update_freq=10)
     np.testing.assert_allclose(np.asarray(out.owners.vel),
                                np.asarray(ref.owners.vel), atol=1e-7)
+
+
+def test_hbm_gate_shrinks_cap_to_admit_uniq(monkeypatch):
+    """When the gate trips with uniq-fetch on, the engine first tries
+    trimming SS capacity slack (to 1.18x the live contact count) — every
+    cap row costs ~1.2 kB across the doubled state + refresh transient,
+    so a slack-heavy table prices uniq out of HBM where a tight one
+    keeps it (the 1M-clump shape: uniq replaces 259 ms/step of direct
+    other-side gathers). Only when trimming cannot fit does it fall to
+    the uniq-off rung."""
+    import dem_engine_tpu.solver as solver_mod
+
+    cfg, state, params = _case(use_fused_force=True, uniq_cap=64,
+                               cap_ss=2048)
+    eng = Engine(cfg)
+    # establish live contacts (3 overlapping pairs) so count > 0
+    state = eng.advance(state, params, 10, update_freq=10)
+    assert int(state.ss.count) > 0
+    if eng.cfg.cap_ss <= 512:  # maybe_shrink already trimmed: re-pad
+        eng.cfg = dataclasses.replace(eng.cfg, cap_ss=2048)
+        eng._build()
+        state = eng._replace_tables(state, ss=state.ss.grown(2048))
+
+    real = solver_mod.estimate_hbm_peak
+    fake_hbm = {}
+
+    def tight(st, c):
+        m = dict(real(st, c))
+        if "v" not in fake_hbm:
+            # first call: trip the 0.96 gate by ~2% at the CURRENT cap
+            fake_hbm["v"] = m["peak"] / (0.96 * 1.02)
+        m["hbm"] = fake_hbm["v"]
+        return m
+
+    monkeypatch.setattr(solver_mod, "estimate_hbm_peak", tight)
+    out = eng._enforce_hbm(state)
+    assert eng.cfg.uniq_cap == 64, "uniq-fetch must survive"
+    assert eng.cfg.cap_ss == 512, "cap trimmed to the 1.18x-count floor"
+    assert eng.timers["oom_degrades"] == 0
+    assert out.ss.cap == 512
+    # the trimmed state still steps (dead rows trail the live ones)
+    monkeypatch.setattr(solver_mod, "estimate_hbm_peak", real)
+    out = eng.advance(out, params, 10, update_freq=10)
+    assert int(out.ss.count) > 0
+
+
+def test_hbm_gate_uniq_admit_churn_guard(monkeypatch):
+    """A capacity growth within 2 CD epochs of an admit-shrink means the
+    contact count is rising: the rung disables itself (each grow/shrink
+    cycle is a fresh multi-minute refresh compile at scale) and the
+    gate falls back to dropping uniq."""
+    import dem_engine_tpu.solver as solver_mod
+    from dem_engine_tpu.state import OVF_SS_CAP
+
+    cfg, state, params = _case(use_fused_force=True, uniq_cap=64,
+                               cap_ss=2048)
+    eng = Engine(cfg)
+    state = eng.advance(state, params, 10, update_freq=10)
+    if eng.cfg.cap_ss <= 512:
+        eng.cfg = dataclasses.replace(eng.cfg, cap_ss=2048)
+        eng._build()
+        state = eng._replace_tables(state, ss=state.ss.grown(2048))
+
+    real = solver_mod.estimate_hbm_peak
+    fake_hbm = {}
+
+    def tight(st, c):
+        m = dict(real(st, c))
+        if "v" not in fake_hbm:
+            fake_hbm["v"] = m["peak"] / (0.96 * 1.02)
+        m["hbm"] = fake_hbm["v"]
+        return m
+
+    monkeypatch.setattr(solver_mod, "estimate_hbm_peak", tight)
+    state = eng._enforce_hbm(state)
+    assert eng.cfg.uniq_cap == 64 and eng.cfg.cap_ss == 512
+    # an immediate growth marks a rising-count regime
+    state = eng.grow_for(state, OVF_SS_CAP)
+    assert eng._uniq_admit_off
+    # next gate trip must NOT re-shrink: uniq is dropped instead
+    fake_hbm.clear()
+    state = eng._enforce_hbm(state)
+    assert eng.cfg.uniq_cap == 0
+
+
+def test_hbm_gate_uniq_drop_is_readmitted(monkeypatch):
+    """A uniq drop by the pre-dispatch MODEL gate (e.g. at init, count
+    unknown) is reversible: once live contacts exist and the model fits
+    uniq at a trimmed capacity, the entry gate re-admits it. A drop by
+    a REAL device OOM stays off."""
+    import dem_engine_tpu.solver as solver_mod
+
+    cfg, state, params = _case(use_fused_force=True, uniq_cap=64,
+                               cap_ss=2048)
+    eng = Engine(cfg)
+    # gate-drop at count == 0 (the init-time situation)
+    assert int(state.ss.count) == 0
+    real = solver_mod.estimate_hbm_peak
+    trip = {"on": True}
+
+    def tight(st, c):
+        m = dict(real(st, c))
+        if trip["on"] and c.uniq_cap:
+            m["peak"] = 2.0 * m["hbm"]  # uniq-on config cannot fit
+        return m
+
+    monkeypatch.setattr(solver_mod, "estimate_hbm_peak", tight)
+    state = eng._enforce_hbm(state)
+    assert eng.cfg.uniq_cap == 0 and eng._uniq_gate_dropped
+    # establish contacts, then lift the pressure: re-admitted + trimmed
+    trip["on"] = False
+    state = eng.advance(state, params, 10, update_freq=10)
+    assert int(state.ss.count) > 0
+    state = eng._enforce_hbm(state)
+    assert eng.cfg.uniq_cap == 64, "gate-dropped uniq must be re-admitted"
+    assert eng.cfg.cap_ss == 512
+    assert state.ss.uidx.shape[0] == 512  # uniq arrays re-allocated
+    # ...and the engine still steps with the re-admitted layout
+    state = eng.advance(state, params, 10, update_freq=10)
+    assert int(state.ss.count) > 0
+
+    # a REAL OOM drop is permanent
+    eng2 = Engine(dataclasses.replace(cfg, uniq_cap=64))
+    assert eng2._oom_degrade()  # default reason: device RESOURCE_EXHAUSTED
+    assert eng2._uniq_admit_off and not eng2._uniq_gate_dropped
