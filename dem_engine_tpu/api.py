@@ -2605,7 +2605,9 @@ class DEMSolver:
             from .ops.pallas_force import fused_step_ss as _fss
 
             def fill(state, params):
-                krec = _forces.pack_kinematics(state.owners)
+                # fused kernel records: world-frame omg (pack_kinematics)
+                krec = _forces.pack_kinematics(state.owners,
+                                               world_omg=True)
                 _, _, tbl = _fss(
                     state.ss, state.owners, params, cfg.voxel_size,
                     cfg.force_model, krec, extras=True,

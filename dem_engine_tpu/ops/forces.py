@@ -70,14 +70,27 @@ _I32MAX = 2**31 - 1
 KREC_W = 16
 
 
-def pack_kinematics(owners: Owners):
+def pack_kinematics(owners: Owners, world_omg: bool = False):
+    """(N, 16) packed per-owner kinematic records.
+
+    With `world_omg`, rows 13:16 carry the WORLD-frame angular velocity
+    (rot(quat, omg)): the fused kernel then computes each contact-point
+    velocity as ONE cross product instead of the
+    rotate(cross(omg_body, rotate_inv(cp))) chain — 4 of the 7
+    quaternion rotations per contact per pass collapse, at the cost of
+    one per-OWNER rotation here (N ops, not cap ops). The XLA
+    contact_pass keeps body-frame omg (ContactContext omgBar parity
+    with DEME user force models)."""
+    omg = owners.omg
+    if world_omg:
+        omg = quat.rotate(owners.quat, owners.omg)
     return jnp.concatenate(
         [
             owners.vox.astype(F),
             owners.loc,
             owners.quat,
             owners.vel,
-            owners.omg,
+            omg,
         ],
         axis=1,
     )
@@ -345,6 +358,7 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
     wcb, own_a_b = table.wcb, table.own_a_b
     if fused:
         from ..defines import TINY_FLOAT
+        from .pallas_force import _PI as _PI_CONST, _PI_SQ
 
         # premix per material PAIR on a tiny (M, M) grid, then fetch with
         # ONE packed row gather by pair id (replaces 7 width-1 gathers)
@@ -359,10 +373,16 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
                   + 2.0 * (2.0 - nub2) * (1.0 + nub2) / Eb2)
         G_eff2 = 1.0 / jnp.maximum(inv_G2, TINY_FLOAT)
         zero2 = jnp.zeros((M, M), F)
+        # premix the Hertz damping ratio beta = ln e / sqrt(ln^2 e + pi^2)
+        # on the pair grid: the kernel otherwise recomputes the log+sqrt
+        # chain per contact per step per pass (hertz.py:52-56 parity)
+        loge2 = jnp.log(jnp.maximum(
+            params.pair_props.get("CoR", zero2), TINY_FLOAT))
+        beta2 = loge2 / jnp.sqrt(loge2 * loge2 + _PI_SQ)
         ptab = jnp.stack(
             [
                 E_eff2, G_eff2,
-                params.pair_props.get("CoR", zero2),
+                beta2,
                 params.pair_props.get("mu", zero2),
                 params.pair_props.get("Crr", zero2),
                 zero2, zero2, zero2,
@@ -370,6 +390,29 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
             axis=-1,
         ).reshape(M * M, 8)
         pr = gather_rows(ptab, mat_a * M + mat_b)    # (cap, 8)
+
+        # per-contact statics-derived constants, premixed ONCE here
+        # instead of per step in both kernel passes (the rolling-
+        # resistance prelude alone is ~6 transcendental slab ops):
+        # m_eff, and the Schwartz collision time t_col folded with its
+        # overdamped flag (t_col_eff = 0 => `past` always true, since
+        # delta_time >= h > 0). Formula parity: hertz.py:80-108.
+        ma_c, mb_c = ra[:, 5], rb[:, 5]
+        m_eff_c = ma_c * mb_c / jnp.maximum(ma_c + mb_c, TINY_FLOAT)
+        ra_r, rb_r = ra[:, 0], rb[:, 0]
+        r_eff_c = ra_r * rb_r / jnp.maximum(ra_r + rb_r, TINY_FLOAT)
+        E_eff_c, beta_c = pr[:, 0], pr[:, 2]
+        R_eff_c = jnp.sqrt(r_eff_c)
+        kn_s = (4.0 / 3.0) * E_eff_c * jnp.sqrt(R_eff_c)
+        gn_s = (-2.0 * jnp.sqrt((5.0 / 3.0) * m_eff_c * E_eff_c) * beta_c
+                * jnp.sqrt(jnp.sqrt(R_eff_c)))
+        d_c = gn_s / (2.0 * jnp.maximum(jnp.sqrt(kn_s * m_eff_c),
+                                        TINY_FLOAT))
+        t_col = _PI_CONST * jnp.sqrt(
+            m_eff_c / jnp.maximum(
+                kn_s * jnp.maximum(1.0 - d_c * d_c, TINY_FLOAT),
+                TINY_FLOAT))
+        t_col_eff = jnp.where(d_c >= 1.0, 0.0, t_col)
 
         # contact-major (cap, FSTAT_W) first: the B copy is then one
         # bit-exact row gather through perm_b; all columns come from the
@@ -381,9 +424,9 @@ def finalize_table(kind, table: ContactTable, owners: Owners,
                 ra[:, 1:4],       # relpos_a
                 rb[:, 1:4],       # relpos_b
                 rb[:, 0:1],       # radius_b
-                ra[:, 5:6],       # mass_a
-                rb[:, 5:6],       # mass_b
-                pr[:, 0:5],       # E_eff G_eff CoR mu Crr
+                m_eff_c[:, None],    # premixed effective mass
+                t_col_eff[:, None],  # premixed RR collision time (0=past)
+                pr[:, 0:5],       # E_eff G_eff beta mu Crr
             ],
             axis=1,
         )

@@ -68,11 +68,15 @@ _PI = 3.14159265358979323846
 
 # kinematic record rows (matches forces.KREC_W layout)
 # [0:3] vox  [3:6] loc  [6:10] quat  [10:13] vel  [13:16] omg
+# (omg is WORLD-frame here — forces.pack_kinematics(world_omg=True);
+# contact-point velocities are then single cross products)
 
 # fstat rows (state.FSTAT_W; forces.finalize_table):
 # [0] own_key (-1 dead)  [1] radA  [2:5] relposA  [5:8] relposB
-# [8] radB  [9] massA  [10] massB
-# [11] E_eff  [12] G_eff  [13] CoR  [14] mu  [15] Crr
+# [8] radB  [9] m_eff (premixed)  [10] t_col_eff (premixed Schwartz
+# collision time; 0 = overdamped, `past` always true)
+# [11] E_eff  [12] G_eff  [13] beta (premixed Hertz damping ratio)
+# [14] mu  [15] Crr
 
 # wildcard rows (sorted contact_wildcards of the full Hertz model)
 # [0] delta_tan_x [1] delta_tan_y [2] delta_tan_z [3] delta_time
@@ -181,7 +185,11 @@ def _hertz_rows_real(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
     bq, bvel, bomg = _q4(Bk, 6), _v3(Bk, 10), _v3(Bk, 13)
     radA, relA = s[1:2, :], _v3(s, 2)
     relB, radB = _v3(s, 5), s[8:9, :]
-    mA, mB = s[9:10, :], s[10:11, :]
+    # statics-derived constants premixed at refresh (forces.finalize_
+    # table): recomputing them here cost ~8 transcendental slab ops per
+    # chunk per pass (the step runs K times per refresh, twice per step)
+    m_eff = s[9:10, :]
+    t_col_eff = s[10:11, :]
     live = s[0:1, :] >= 0.0
 
     # B position relative to owner A CoM (exact voxel-int difference)
@@ -200,25 +208,23 @@ def _hertz_rows_real(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
     in_contact = overlap > 0.0
     ovl = jnp.maximum(overlap, 0.0)
 
-    # premixed effective moduli (forces.finalize_table)
+    # premixed effective moduli + damping ratio (forces.finalize_table)
     E_eff, G_eff = s[11:12, :], s[12:13, :]
-    CoR = s[13:14, :]
+    beta = s[13:14, :]
 
-    # contact-point velocities (ContactContext.rot_vel_cp_global)
-    lcp_a = _rot_inv(aq, cp)
-    lcp_b = _rot_inv(bq, cp_b)
-    va = _rot(aq, _cross3(aomg, lcp_a))
-    vb = _rot(bq, _cross3(bomg, lcp_b))
+    # contact-point velocities (ContactContext.rot_vel_cp_global): omg
+    # rides WORLD-frame in krec, so rot(q, cross(omg_b, rot_inv(q, cp)))
+    # collapses to cross(omg_w, cp) — same vector, 2 rotations fewer
+    # per side (rotations preserve cross products)
+    va = _cross3(aomg, cp)
+    vb = _cross3(bomg, cp_b)
     vel_b2a = _sub3(_add3(avel, va), _add3(bvel, vb))
     proj = _dot3(vel_b2a, b2a)
     vrel_tan = _sub3(vel_b2a, _scale3(b2a, proj))
 
-    m_eff = mA * mB / jnp.maximum(mA + mB, TINY_FLOAT)
     r_eff = radA * radB / jnp.maximum(radA + radB, TINY_FLOAT)
     sqrt_Rd = jnp.sqrt(ovl * r_eff)
     Sn = 2.0 * E_eff * sqrt_Rd
-    loge = jnp.log(jnp.maximum(CoR, TINY_FLOAT))
-    beta = loge / jnp.sqrt(loge * loge + _PI_SQ)
     k_n = (2.0 / 3.0) * Sn
     gamma_n = _TWO_SQRT_5_6 * beta * jnp.sqrt(Sn * m_eff)
     f_n = k_n * ovl + gamma_n * proj
@@ -234,23 +240,10 @@ def _hertz_rows_real(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
         dtan = _sub3(dtan, _scale3(b2a, disp_proj))
         dtime = w[3:4, :] + h
 
-        # rolling resistance (Schwartz; parity hertz.py:80-108)
-        R_eff = jnp.sqrt(r_eff)
-        kn_simple = (4.0 / 3.0) * E_eff * jnp.sqrt(R_eff)
-        gn_simple = (-2.0 * jnp.sqrt((5.0 / 3.0) * m_eff * E_eff) * beta
-                     * jnp.sqrt(jnp.sqrt(R_eff)))
-        d_coeff = gn_simple / (
-            2.0 * jnp.maximum(jnp.sqrt(kn_simple * m_eff), TINY_FLOAT)
-        )
-        t_col = _PI * jnp.sqrt(
-            m_eff / jnp.maximum(
-                kn_simple
-                * jnp.maximum(1.0 - d_coeff * d_coeff, TINY_FLOAT),
-                TINY_FLOAT,
-            )
-        )
-        # (scalar-True where-arm trips Mosaic's i1 truncation; use bool ops)
-        past = (d_coeff >= 1.0) | (dtime > t_col)
+        # rolling resistance engages past the Schwartz collision time
+        # (parity hertz.py:80-108); t_col_eff premixed at refresh with
+        # the overdamped case folded in as 0 (dtime >= h > 0)
+        past = dtime > t_col_eff
         v_rot = _sub3(vb, va)
         v_rot_mag = jnp.sqrt(_dot3(v_rot, v_rot))
         f_mag = jnp.sqrt(_dot3(force, force))
@@ -293,12 +286,14 @@ def _hertz_rows_real(s, w, Ak, Bk, h, voxel_size, with_friction, side_b,
     torque_only = _where3(in_contact & live, torque_only, 0.0)
     f_tot = _add3(force, torque_only)
     zero = jnp.zeros_like(f_n)
+    # body-frame torque: cross(rot_inv(cp), rot_inv(f)) == rot_inv(
+    # cross(cp, f)) — one rotation instead of two
     if side_b:
-        tq_b = _cross3(lcp_b, _rot_inv(bq, _neg3(f_tot)))
+        tq_b = _rot_inv(bq, _cross3(cp_b, _neg3(f_tot)))
         rec = jnp.concatenate(
             [-force, jnp.where(live, tq_b, 0.0), zero, zero], axis=0)
     else:
-        tq_a = _cross3(lcp_a, _rot_inv(aq, f_tot))
+        tq_a = _rot_inv(aq, _cross3(cp, f_tot))
         rec = jnp.concatenate(
             [force, jnp.where(live, tq_a, 0.0), zero, zero], axis=0)
     if extras:

@@ -167,7 +167,8 @@ def profile_stages(engine, state, params, reps=2) -> Dict[str, float]:
                 from .ops.pallas_force import fused_step_ss
 
                 f_a, t_a, _ = fused_step_ss(
-                    table, st.owners, pp, cfg.voxel_size, model, krec)
+                    table, st.owners, pp, cfg.voxel_size, model,
+                    forces.pack_kinematics(st.owners, world_omg=True))
                 dep = dep + f_a.sum() + t_a.sum()
                 continue
             p = forces.contact_pass(

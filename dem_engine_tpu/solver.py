@@ -513,7 +513,8 @@ def dynamics_step(state: SimState, params: RuntimeParams,
         and state.spheres.n > 0
         and state.ss.cap > 0
     )
-    krec = None
+    krec = None    # body-frame omg: the XLA contact_pass records
+    krec_w = None  # world-frame omg: the fused kernel's records
     passes = []
     new_tables = {}
     fused_acc = None
@@ -525,16 +526,18 @@ def dynamics_step(state: SimState, params: RuntimeParams,
         if n_geo == 0 or table.cap == 0 or state.spheres.n == 0:
             new_tables[kind] = table
             continue
-        if krec is None:  # pack the shared kinematic records once per step
-            krec = forces.pack_kinematics(owners)
         if kind == "ss" and fused_ss:
             from .ops.pallas_force import fused_step_ss
 
+            if krec_w is None:  # packed once per step (N ops, not cap)
+                krec_w = forces.pack_kinematics(owners, world_omg=True)
             f_a, t_a, new_tables["ss"] = fused_step_ss(
-                table, owners, params, cfg.voxel_size, model, krec,
+                table, owners, params, cfg.voxel_size, model, krec_w,
             )
             fused_acc = (f_a, t_a)
             continue
+        if krec is None:  # pack the shared kinematic records once per step
+            krec = forces.pack_kinematics(owners)
         p = forces.contact_pass(
             kind, table, owners, state.spheres, state.tris, state.anals,
             params, state.time, cfg.voxel_size, model,

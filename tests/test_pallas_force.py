@@ -197,7 +197,7 @@ def test_fused_extras_match_xla_across_block_boundaries():
     )
     t_x = p["table"]
 
-    krec = _forces.pack_kinematics(s_f.owners)
+    krec = _forces.pack_kinematics(s_f.owners, world_omg=True)
     _, _, t_f = fused_step_ss(
         s_f.ss, s_f.owners, params, cfg.voxel_size, model, krec,
         extras=True,

@@ -105,7 +105,7 @@ def test_uniq_extras_pass_matches_direct():
     s_u = _refresh_with_uniq(state, params, cfg_u)
 
     def extras(s):
-        krec = _forces.pack_kinematics(s.owners)
+        krec = _forces.pack_kinematics(s.owners, world_omg=True)
         _, _, tbl = fused_step_ss(
             s.ss, s.owners, params, cfg.voxel_size, model, krec,
             extras=True)
